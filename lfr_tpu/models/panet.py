@@ -1,0 +1,171 @@
+"""Patch-alignment flow network (PANet-equivalent) in Flax, NHWC, TPU-first.
+
+Predicts the 2-D displacement aligning a 33x33 target patch to a reference
+patch.  Architecture parity with the reference
+(reference: two-view-refinement/model.py:8-108):
+
+  * backbone: VGG-style conv1_1..conv2_2 with a 3x3/stride-2 max-pool after
+    block 1, producing a 17x17x128 map (model.py:12-22);
+  * per-position L2 normalization over channels (model.py:58);
+  * dense 4-D correlation 17x17 x 17x17 via one batched contraction — an
+    MXU-native einsum instead of the reference's permute+bmm (model.py:64-67);
+  * ReLU + L2 normalization over the 289 correlation channels (model.py:70);
+  * refine head: four unpadded 5x5 convs 289->128->128->64->64 with
+    BatchNorm+ReLU shrinking 17 -> 1 spatially (model.py:24-37);
+  * prediction: Linear(64 -> 2) (model.py:39-41).
+
+``forward_sym`` evaluates both directions from a single correlation volume
+(model.py:80-108).  Computation runs in bfloat16 on the MXU with float32
+accumulation/normalization; parameters stay float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+#: ImageNet normalization (reference: model.py:47-51).
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+PATCH = 33
+FMAP = PATCH // 2 + 1  # 17 (reference: model.py:21-22)
+
+
+def normalize_patches(patches: jnp.ndarray) -> jnp.ndarray:
+    """uint8/float [0,255] NHWC patches -> ImageNet-normalized float32."""
+    mean = jnp.asarray(IMAGENET_MEAN, dtype=jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, dtype=jnp.float32)
+    return (patches.astype(jnp.float32) / 255.0 - mean) / std
+
+
+def _l2_normalize(x: jnp.ndarray, axis: int, eps: float = 1e-12) -> jnp.ndarray:
+    # Matches torch F.normalize: x / max(||x||, eps).
+    norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axis, keepdims=True))
+    return (x / jnp.maximum(norm, eps)).astype(x.dtype)
+
+
+class Backbone(nn.Module):
+    """VGG conv1_1..conv2_2 with an extra 3x3/2 max-pool (reference: model.py:12-19)."""
+
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        conv = lambda f, name: nn.Conv(  # noqa: E731
+            f, (3, 3), padding=1, dtype=self.compute_dtype, name=name
+        )
+        x = x.astype(self.compute_dtype)
+        x = nn.relu(conv(64, "conv1_1")(x))
+        x = nn.relu(conv(64, "conv1_2")(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = nn.relu(conv(128, "conv2_1")(x))
+        x = nn.relu(conv(128, "conv2_2")(x))
+        return x
+
+
+class RefineHead(nn.Module):
+    """Four unpadded 5x5 conv+BN+ReLU stages, 17x17 -> 1x1
+    (reference: model.py:24-37)."""
+
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for i, feat in enumerate([128, 128, 64, 64]):
+            x = nn.Conv(
+                feat, (5, 5), padding="VALID", dtype=self.compute_dtype, name=f"conv{i}"
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, dtype=jnp.float32, name=f"bn{i}"
+            )(x.astype(jnp.float32))
+            x = nn.relu(x).astype(self.compute_dtype)
+        return x
+
+
+class PANet(nn.Module):
+    """Two-view patch-alignment flow network."""
+
+    compute_dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        self.backbone = Backbone(self.compute_dtype)
+        self.refine = RefineHead(self.compute_dtype)
+        self.predict = nn.Dense(2, dtype=jnp.float32, name="predict")
+
+    def features(self, patches: jnp.ndarray) -> jnp.ndarray:
+        """(B, 33, 33, 3) -> (B, 17, 17, 128), L2-normalized over channels."""
+        return _l2_normalize(self.backbone(patches), axis=-1)
+
+    def correlation(self, f_ref: jnp.ndarray, f_tgt: jnp.ndarray) -> jnp.ndarray:
+        """(B,17,17,C),(B,17,17,C) -> (B, 17*17 ref, 17*17 tgt) in float32."""
+        b = f_ref.shape[0]
+        fr = f_ref.reshape(b, FMAP * FMAP, -1)
+        ft = f_tgt.reshape(b, FMAP * FMAP, -1)
+        return jnp.einsum(
+            "bpc,bqc->bpq", fr, ft, preferred_element_type=jnp.float32
+        )
+
+    def _head(self, corr: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """ReLU + channel L2-norm + refine + predict.  corr: (B,17,17,289)
+        with the *source* positions as the spatial grid."""
+        corr = _l2_normalize(nn.relu(corr), axis=-1)
+        x = self.refine(corr.astype(self.compute_dtype), train=train)
+        return self.predict(x.reshape(x.shape[0], -1).astype(jnp.float32))
+
+    def __call__(
+        self, reference: jnp.ndarray, target: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
+        """Asymmetric forward: displacement of target w.r.t. reference
+        (reference: model.py:53-78).  Inputs are ImageNet-normalized NHWC."""
+        b = reference.shape[0]
+        feats = self.features(jnp.concatenate([reference, target], axis=0))
+        corr = self.correlation(feats[:b], feats[b:])
+        # corr12: spatial grid = reference positions, channels = target pos.
+        corr12 = corr.reshape(b, FMAP, FMAP, FMAP * FMAP)
+        return self._head(corr12, train)
+
+    def forward_sym(
+        self, reference: jnp.ndarray, target: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Both directions from one correlation volume (reference: model.py:80-108)."""
+        b = reference.shape[0]
+        feats = self.features(jnp.concatenate([reference, target], axis=0))
+        corr = self.correlation(feats[:b], feats[b:])
+        corr12 = corr.reshape(b, FMAP, FMAP, FMAP * FMAP)
+        corr21 = jnp.swapaxes(corr, 1, 2).reshape(b, FMAP, FMAP, FMAP * FMAP)
+        both = jnp.concatenate([corr12, corr21], axis=0)
+        disp = self._head(both, train)
+        return disp[:b], disp[b:]
+
+
+def init_params(rng: jax.Array, compute_dtype=jnp.bfloat16) -> Dict:
+    """Initialize PANet variables (params + batch_stats)."""
+    model = PANet(compute_dtype)
+    dummy = jnp.zeros((1, PATCH, PATCH, 3), jnp.float32)
+    return model.init(rng, dummy, dummy)
+
+
+def make_apply_fns(compute_dtype=jnp.bfloat16):
+    """Jitted (asymmetric, symmetric) apply functions over raw [0,255] patches."""
+    model = PANet(compute_dtype)
+
+    @jax.jit
+    def apply_asym(variables, reference, target):
+        return model.apply(
+            variables, normalize_patches(reference), normalize_patches(target)
+        )
+
+    @jax.jit
+    def apply_sym(variables, reference, target):
+        return model.apply(
+            variables,
+            normalize_patches(reference),
+            normalize_patches(target),
+            method=PANet.forward_sym,
+        )
+
+    return apply_asym, apply_sym

@@ -1,0 +1,187 @@
+"""Match-graph construction: matching + two-view refinement over a pair list.
+
+The reference's ``compute_match_graph.py`` process
+(reference: two-view-refinement/compute_match_graph.py:31-205) as a library
+function + CLI: for every pair in the match list, load + downscale images,
+match descriptors (MXU matmul), run the coarse-to-fine flow CNN, and emit a
+reference-compatible MatchingFile (chunked every 5000 pairs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from ..config import DEFAULT_BATCH_SIZE, DUMP_INTERVAL, MethodConfig, get_method
+from ..io import features as features_io
+from ..io import images as images_io
+from ..io import match_list as match_list_io
+from ..io import protos
+from ..ops import matchers
+from .refinement import TwoViewRefiner
+
+
+def compute_match_graph(
+    image_path: str,
+    match_list_file: str,
+    method: MethodConfig,
+    output_file: str,
+    refiner: Optional[TwoViewRefiner] = None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    skip_refinement: bool = False,
+    dump_interval: int = DUMP_INTERVAL,
+    progress: bool = True,
+) -> List[str]:
+    """Build the match graph for all pairs; returns the written file list.
+
+    ``skip_refinement`` zero-fills the displacement grids, exercising the
+    full pipeline with identity refinement — the reference's
+    SKIP_REFINEMENT debug path (reference: compute_match_graph.py:28,150-159).
+    """
+    pairs = match_list_io.read_match_list(match_list_file)
+    if refiner is None and not skip_refinement:
+        refiner = TwoViewRefiner(batch_size=batch_size)
+
+    written: List[str] = []
+    out_pairs: List[protos.PairMatches] = []
+    part_idx = -1
+    cached_name1 = None
+    image1 = None
+    fact1 = 1.0
+    t0 = time.time()
+
+    def _flush(final: bool) -> None:
+        nonlocal part_idx, out_pairs
+        if final and part_idx == -1:
+            protos.write_matching_file(output_file, out_pairs)
+            written.append(output_file)
+        else:
+            part_idx += 1
+            path = f"{output_file}.part.{part_idx}"
+            protos.write_matching_file(path, out_pairs)
+            written.append(path)
+        out_pairs = []
+
+    for pair_idx, (name1, name2) in enumerate(pairs):
+        if name1 != cached_name1:
+            cached_name1 = name1
+            image1, fact1 = images_io.load_and_downscale(
+                os.path.join(image_path, name1), method.max_edge, method.max_sum_edges
+            )
+        image2, fact2 = images_io.load_and_downscale(
+            os.path.join(image_path, name2), method.max_edge, method.max_sum_edges
+        )
+
+        feats1 = features_io.load_features(os.path.join(image_path, name1), method.name)
+        feats2 = features_io.load_features(os.path.join(image_path, name2), method.name)
+
+        if feats1.num_features > 0 and feats2.num_features > 0:
+            # Keypoints live at original resolution; bring them to the
+            # matching resolution (reference: compute_match_graph.py:127-131).
+            kps1 = feats1.xy / fact1
+            kps2 = feats2.xy / fact2
+            m, sim = matchers.match(
+                feats1.descriptors, feats2.descriptors, method.matcher, method.threshold
+            )
+            if skip_refinement or m.shape[0] == 0:
+                grid12 = np.zeros((m.shape[0], 3, 3, 2), dtype=np.float32)
+                grid21 = np.zeros((m.shape[0], 3, 3, 2), dtype=np.float32)
+            else:
+                grid12, grid21 = refiner.refine_matches(image1, kps1, image2, kps2, m)
+        else:
+            m = np.zeros((0, 2), dtype=np.int64)
+            sim = np.zeros(0, dtype=np.float32)
+            grid12 = np.zeros((0, 3, 3, 2), dtype=np.float32)
+            grid21 = np.zeros((0, 3, 3, 2), dtype=np.float32)
+
+        # disp1 carries the flow toward image 1 (2->1 grids), disp2 toward
+        # image 2 (reference: compute_match_graph.py:178-187).
+        out_pairs.append(
+            protos.PairMatches(
+                name1,
+                float(fact1),
+                name2,
+                float(fact2),
+                m.astype(np.uint32),
+                sim.astype(np.float32),
+                disp1=grid21,
+                disp2=grid12,
+            )
+        )
+
+        if progress and (pair_idx + 1) % 25 == 0:
+            rate = (pair_idx + 1) / (time.time() - t0)
+            print(
+                f"[match-graph] {pair_idx + 1}/{len(pairs)} pairs ({rate:.2f} pairs/s)",
+                file=sys.stderr,
+                flush=True,
+            )
+        if pair_idx % dump_interval == dump_interval - 1:
+            _flush(final=False)
+
+    _flush(final=part_idx == -1)
+    return written
+
+
+def main(argv=None) -> None:
+    from ..utils.platform import select_platform
+
+    select_platform()
+    parser = argparse.ArgumentParser(description="match graph + two-view refinement")
+    parser.add_argument("--image_path", required=True)
+    parser.add_argument("--match_list_file", required=True)
+    parser.add_argument("--method_name", required=True)
+    parser.add_argument("--output_file", required=True)
+    parser.add_argument("--batch_size", type=int, default=DEFAULT_BATCH_SIZE)
+    parser.add_argument("--checkpoint", default=None, help="optional torch checkpoint.pth")
+    parser.add_argument("--max_edge", type=int, default=None)
+    parser.add_argument("--max_sum_edges", type=int, default=None)
+    parser.add_argument("--matcher", default=None, choices=["similarity", "ratio"])
+    parser.add_argument("--threshold", type=float, default=None)
+    args = parser.parse_args(argv)
+
+    method = get_method(args.method_name)
+    # CLI overrides for custom methods.
+    overrides = {
+        k: v
+        for k, v in dict(
+            max_edge=args.max_edge,
+            max_sum_edges=args.max_sum_edges,
+            matcher=args.matcher,
+            threshold=args.threshold,
+        ).items()
+        if v is not None
+    }
+    if overrides:
+        import dataclasses
+
+        method = dataclasses.replace(method, **overrides)
+
+    skip = "SKIP_REFINEMENT" in os.environ
+    refiner = None
+    if not skip:
+        variables = None
+        if args.checkpoint:
+            from ..models.torch_import import load_checkpoint
+
+            variables = load_checkpoint(args.checkpoint)
+        refiner = TwoViewRefiner(variables=variables, batch_size=args.batch_size)
+
+    compute_match_graph(
+        args.image_path,
+        args.match_list_file,
+        method,
+        args.output_file,
+        refiner=refiner,
+        batch_size=args.batch_size,
+        skip_refinement=skip,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""Synthetic scene generation for tests and benchmarks.
+
+Provides the ground-truth playground the reference never had (it has zero
+automated tests; SURVEY.md §4): random textured images with planted
+keypoints + descriptors, shifted image pairs, and full multi-camera 3D
+scenes with known poses for SfM validation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+def textured_image(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
+    """Smooth random texture with enough gradient structure for matching."""
+    base = rng.random((h // 8 + 2, w // 8 + 2, 3))
+    # Bilinear upsample to full size.
+    yi = np.linspace(0, base.shape[0] - 1.001, h)
+    xi = np.linspace(0, base.shape[1] - 1.001, w)
+    y0 = yi.astype(int)
+    x0 = xi.astype(int)
+    fy = (yi - y0)[:, None, None]
+    fx = (xi - x0)[None, :, None]
+    img = (
+        base[y0][:, x0] * (1 - fy) * (1 - fx)
+        + base[y0][:, x0 + 1] * (1 - fy) * fx
+        + base[y0 + 1][:, x0] * fy * (1 - fx)
+        + base[y0 + 1][:, x0 + 1] * fy * fx
+    )
+    noise = rng.random((h, w, 3)) * 0.25
+    img = (img * 0.75 + noise) * 255
+    return img.astype(np.uint8)
+
+
+def shifted_pair(
+    rng: np.random.Generator, h: int = 240, w: int = 320, shift: Tuple[float, float] = (3.0, -2.0)
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(image, image shifted by integer (di, dj)) — exact translation pair."""
+    di, dj = int(shift[0]), int(shift[1])
+    big = textured_image(rng, h + 2 * abs(di) + 8, w + 2 * abs(dj) + 8)
+    o = abs(di) + 4, abs(dj) + 4
+    img1 = big[o[0] : o[0] + h, o[1] : o[1] + w]
+    img2 = big[o[0] + di : o[0] + di + h, o[1] + dj : o[1] + dj + w]
+    return img1.copy(), img2.copy()
+
+
+def planted_features(
+    rng: np.random.Generator,
+    n: int,
+    h: int,
+    w: int,
+    dim: int = 128,
+    margin: float = 24.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Random keypoints (x, y) inside margins + unit-norm descriptors."""
+    xy = np.stack(
+        [
+            rng.uniform(margin, w - margin, n),
+            rng.uniform(margin, h - margin, n),
+        ],
+        axis=1,
+    )
+    desc = rng.standard_normal((n, dim)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    return xy, desc
+
+
+# ---------------------------------------------------------------------------
+# Full 3D scenes for SfM tests
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Scene:
+    points: np.ndarray            # (P, 3) world points
+    rotations: np.ndarray         # (C, 3, 3) world->cam
+    translations: np.ndarray      # (C, 3)
+    K: np.ndarray                 # (3, 3) shared intrinsics
+    width: int
+    height: int
+    observations: List[np.ndarray]  # per camera: (P, 2) pixel coords
+    visible: List[np.ndarray]       # per camera: (P,) bool
+
+    @property
+    def num_cameras(self) -> int:
+        return self.rotations.shape[0]
+
+
+def random_scene(
+    rng: np.random.Generator,
+    num_points: int = 200,
+    num_cameras: int = 4,
+    width: int = 640,
+    height: int = 480,
+    noise_px: float = 0.0,
+) -> Scene:
+    """Cameras on an arc looking at a point cloud near the origin."""
+    points = rng.uniform(-1.0, 1.0, (num_points, 3))
+    points[:, 2] += 6.0
+
+    f = 500.0
+    K = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1.0]])
+
+    rotations, translations, observations, visible = [], [], [], []
+    for c in range(num_cameras):
+        angle = (c - (num_cameras - 1) / 2) * 0.15
+        Ry = np.array(
+            [
+                [np.cos(angle), 0, np.sin(angle)],
+                [0, 1, 0],
+                [-np.sin(angle), 0, np.cos(angle)],
+            ]
+        )
+        center = np.array([2.5 * np.sin(angle), 0.2 * c, 6.0 - 6.0 * np.cos(angle)])
+        R = Ry
+        t = -R @ center
+        cam_pts = points @ R.T + t
+        uv = (cam_pts / cam_pts[:, 2:]) @ K.T
+        uv = uv[:, :2]
+        if noise_px > 0:
+            uv = uv + rng.normal(0, noise_px, uv.shape)
+        vis = (
+            (cam_pts[:, 2] > 0.2)
+            & (uv[:, 0] > 2)
+            & (uv[:, 0] < width - 2)
+            & (uv[:, 1] > 2)
+            & (uv[:, 1] < height - 2)
+        )
+        rotations.append(R)
+        translations.append(t)
+        observations.append(uv)
+        visible.append(vis)
+
+    return Scene(
+        points=points,
+        rotations=np.stack(rotations),
+        translations=np.stack(translations),
+        K=K,
+        width=width,
+        height=height,
+        observations=observations,
+        visible=visible,
+    )

@@ -16,3 +16,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The machine's sitecustomize may have imported jax (and registered a TPU
+# plugin) before this conftest ran, making the env vars above ineffective;
+# the config update below wins either way.
+import jax
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,117 @@
+"""Two-view refinement driver tests: unit conventions + pipeline mechanics."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lfr_tpu.config import DISPLACEMENT_UNIT_PX
+from lfr_tpu.pipelines import refinement
+from lfr_tpu.utils import synthetic
+
+
+class _ConstantCNN:
+    """Stands in for the jitted patch CNN: returns a constant displacement."""
+
+    def __init__(self, value12, value21):
+        self.v12 = np.asarray(value12, dtype=np.float32)
+        self.v21 = np.asarray(value21, dtype=np.float32)
+
+    def __call__(self, variables, img1, size1, img2, size2, ij1, ij2, sym):
+        n = ij1.shape[0]
+        if sym:
+            return (
+                jnp.tile(jnp.asarray(self.v12), (n, 1)),
+                jnp.tile(jnp.asarray(self.v21), (n, 1)),
+            )
+        return jnp.tile(jnp.asarray(self.v12), (n, 1))
+
+
+def _make_refiner(batch_size=64):
+    # Construction compiles nothing; variables stay tiny.
+    return refinement.TwoViewRefiner(batch_size=batch_size, rng_seed=0)
+
+
+def test_constant_model_coarse_plus_half_fine():
+    """grid = coarse + 0.5 * fine (reference: refinement.py:145-161)."""
+    rng = np.random.default_rng(0)
+    img1, img2 = synthetic.shifted_pair(rng, 96, 128, (0, 0))
+    ref = _make_refiner()
+    ref._patch_cnn = _ConstantCNN([0.25, -0.125], [0.0625, 0.5])
+
+    kps = np.array([[40.0, 30.0], [70.0, 50.0]])
+    matches = np.array([[0, 0], [1, 1]])
+    g12, g21 = ref.refine_matches(img1, kps, img2, kps, matches)
+    assert g12.shape == (2, 3, 3, 2)
+    # coarse12 = (.25, -.125); fine (asym) returns v12 constant too.
+    np.testing.assert_allclose(g12[..., 0], 0.25 + 0.5 * 0.25, rtol=1e-6)
+    np.testing.assert_allclose(g12[..., 1], -0.125 + 0.5 * -0.125, rtol=1e-6)
+    # Direction 2->1: coarse21 = (.0625, .5), fine pass reuses v12 constant.
+    np.testing.assert_allclose(g21[..., 0], 0.0625 + 0.5 * 0.25, rtol=1e-6)
+    np.testing.assert_allclose(g21[..., 1], 0.5 + 0.5 * -0.125, rtol=1e-6)
+
+
+def test_fine_recentering_math():
+    """The fine pass must sample targets at 2*(ij2 + coarse12*16)."""
+    rng = np.random.default_rng(1)
+    img1, img2 = synthetic.shifted_pair(rng, 96, 128, (0, 0))
+    ref = _make_refiner()
+
+    captured = {}
+
+    class Capture(_ConstantCNN):
+        def __call__(self, variables, img1, size1, img2, size2, ij1, ij2, sym):
+            if not sym and "fine_ij2" not in captured:
+                captured["fine_ij1"] = np.asarray(ij1)
+                captured["fine_ij2"] = np.asarray(ij2)
+            return super().__call__(variables, img1, size1, img2, size2, ij1, ij2, sym)
+
+    coarse = np.array([0.5, -0.25])
+    ref._patch_cnn = Capture(coarse, [0.0, 0.0])
+    kps1 = np.array([[40.0, 30.0]])  # x, y -> ij (30, 40)
+    kps2 = np.array([[60.0, 20.0]])  # ij (20, 60)
+    ref.refine_matches(img1, kps1, img2, kps2, np.array([[0, 0]]))
+
+    grid = refinement._grid_offsets(octave=-1.0)
+    expect_center1 = 2.0 * np.array([30.0, 40.0])
+    expect_center2 = 2.0 * (np.array([20.0, 60.0]) + coarse * DISPLACEMENT_UNIT_PX)
+    got1 = captured["fine_ij1"][:9]
+    got2 = captured["fine_ij2"][:9]
+    np.testing.assert_allclose(got1, expect_center1[None] + grid, rtol=1e-6)
+    np.testing.assert_allclose(got2, expect_center2[None] + grid, rtol=1e-6)
+
+
+def test_grid_offsets_scaling():
+    g0 = refinement._grid_offsets(0.0)
+    gm1 = refinement._grid_offsets(-1.0)
+    np.testing.assert_allclose(g0.reshape(3, 3, 2)[0, 0], [-8.0, -8.0])
+    np.testing.assert_allclose(gm1, 2 * g0)
+    assert g0.shape == (9, 2)
+
+
+def test_empty_matches():
+    rng = np.random.default_rng(2)
+    img1, img2 = synthetic.shifted_pair(rng, 64, 64, (0, 0))
+    ref = _make_refiner()
+    g12, g21 = ref.refine_matches(img1, np.zeros((0, 2)), img2, np.zeros((0, 2)), np.zeros((0, 2), int))
+    assert g12.shape == (0, 3, 3, 2) and g21.shape == (0, 3, 3, 2)
+
+
+def test_real_cnn_smoke_chunking():
+    """Random-weights CNN end-to-end with a batch smaller than the match count."""
+    rng = np.random.default_rng(3)
+    img1, img2 = synthetic.shifted_pair(rng, 96, 128, (2, -1))
+    ref = refinement.TwoViewRefiner(batch_size=8, rng_seed=0)
+    kps = np.stack([rng.uniform(30, 90, 13), rng.uniform(30, 60, 13)], axis=1)
+    matches = np.stack([np.arange(13), np.arange(13)], axis=1)
+    g12, g21 = ref.refine_matches(img1, kps, img2, kps, matches)
+    assert g12.shape == (13, 3, 3, 2)
+    assert np.isfinite(g12).all() and np.isfinite(g21).all()
+
+
+def test_pad_image_buckets():
+    img = np.ones((100, 300, 3), np.uint8)
+    padded, size = refinement.pad_image(img)
+    assert padded.shape == (256, 512, 3)
+    np.testing.assert_array_equal(size, [100, 300])
+    assert padded[:100, :300].min() == 1
+    assert padded[100:].max() == 0
