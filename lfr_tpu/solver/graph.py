@@ -1,0 +1,169 @@
+"""Patch-graph construction from two-view matches (host, vectorized).
+
+Replaces the reference's pointer-based C++ graph
+(reference: multi-view-refinement/graph.h:11-41, solve.cc:444-481) with a
+struct-of-arrays layout: flat edge arrays + per-node metadata, built with
+NumPy bulk operations instead of per-match allocations.  The arrays feed
+directly into the device solver.
+
+Edge convention (reference: solve.cc:453-479): for a match between
+(image1, feat1) and (image2, feat2), the edge 1->2 carries the flow toward
+image 2 (``disp2``, i.e. the 1->2 grids) and the edge 2->1 carries
+``disp1``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from ..io.protos import PairMatches
+
+
+@dataclasses.dataclass
+class PatchGraph:
+    """Flat patch graph.
+
+    Nodes are (image, feature) pairs.  ``edge_*`` arrays hold *directed*
+    edges (two per match).  ``match_*`` arrays hold one entry per match
+    (undirected), used by track building.
+    """
+
+    image_names: List[str]                 # image table
+    image_facts: np.ndarray                # (I,) downscale factor per image
+    node_image: np.ndarray                 # (N,) image idx per node
+    node_feature: np.ndarray               # (N,) feature idx per node
+
+    edge_src: np.ndarray                   # (E,) directed
+    edge_dst: np.ndarray                   # (E,)
+    edge_sim: np.ndarray                   # (E,)
+    edge_flow: np.ndarray                  # (E, 3, 3, 2) flow toward dst
+
+    match_src: np.ndarray                  # (M,) undirected (match) endpoints
+    match_dst: np.ndarray                  # (M,)
+    match_sim: np.ndarray                  # (M,)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.node_image.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.edge_src.shape[0]
+
+
+def build_graph(
+    pairs: Sequence[PairMatches], banned_images: Optional[Set[str]] = None
+) -> PatchGraph:
+    """Build the patch graph from decoded image pairs.
+
+    ``banned_images`` drops any pair touching those images
+    (reference: solve.cc:403,444-446).
+    """
+    banned = banned_images or set()
+
+    image_ids: Dict[str, int] = {}
+    image_facts: List[float] = []
+
+    def image_id(name: str, fact: float) -> int:
+        if name not in image_ids:
+            image_ids[name] = len(image_ids)
+            image_facts.append(fact)
+        return image_ids[name]
+
+    per_pair = []
+    for pair in pairs:
+        if pair.image_name1 in banned or pair.image_name2 in banned:
+            continue
+        i1 = image_id(pair.image_name1, pair.fact1)
+        i2 = image_id(pair.image_name2, pair.fact2)
+        if pair.num_matches:
+            per_pair.append((i1, i2, pair))
+
+    if not per_pair:
+        z = np.zeros(0, dtype=np.int64)
+        return PatchGraph(
+            list(image_ids),
+            np.asarray(image_facts, dtype=np.float32),
+            z,
+            z,
+            z,
+            z,
+            np.zeros(0, dtype=np.float32),
+            np.zeros((0, 3, 3, 2), dtype=np.float32),
+            z,
+            z,
+            np.zeros(0, dtype=np.float32),
+        )
+
+    # Gather all (image, feature) endpoints, then dedup into node ids.
+    img_parts = []
+    feat_parts = []
+    for i1, i2, pair in per_pair:
+        m = pair.matches
+        img_parts.append(np.full(m.shape[0], i1, dtype=np.int64))
+        feat_parts.append(m[:, 0].astype(np.int64))
+        img_parts.append(np.full(m.shape[0], i2, dtype=np.int64))
+        feat_parts.append(m[:, 1].astype(np.int64))
+    all_img = np.concatenate(img_parts)
+    all_feat = np.concatenate(feat_parts)
+
+    # Node id = index of unique (image, feature) key, in first-seen order to
+    # keep deterministic layout.
+    keys = all_img * (all_feat.max() + 1) + all_feat
+    uniq, inverse = np.unique(keys, return_inverse=True)
+    # first occurrence position of each unique key -> order by appearance
+    first_pos = np.full(uniq.shape[0], np.iinfo(np.int64).max)
+    np.minimum.at(first_pos, inverse, np.arange(keys.shape[0]))
+    order = np.argsort(first_pos, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(order.shape[0])
+    node_of_endpoint = rank[inverse]  # (2*M_total,) node id per endpoint
+
+    n_nodes = uniq.shape[0]
+    node_image = np.zeros(n_nodes, dtype=np.int64)
+    node_feature = np.zeros(n_nodes, dtype=np.int64)
+    node_image[node_of_endpoint] = all_img
+    node_feature[node_of_endpoint] = all_feat
+
+    # Split endpoint ids back per pair: endpoints were appended as
+    # [pair0 side1, pair0 side2, pair1 side1, ...].
+    counts = [p.num_matches for _, _, p in per_pair]
+    offsets = np.cumsum([0] + [2 * c for c in counts])
+
+    src_list, dst_list, sim_list, flow_list = [], [], [], []
+    msrc, mdst, msim = [], [], []
+    for k, (i1, i2, pair) in enumerate(per_pair):
+        c = counts[k]
+        base = offsets[k]
+        n1 = node_of_endpoint[base : base + c]
+        n2 = node_of_endpoint[base + c : base + 2 * c]
+        sim = pair.similarities.astype(np.float32)
+        # Directed edges with flow-toward-dst grids.
+        src_list.append(n1)
+        dst_list.append(n2)
+        sim_list.append(sim)
+        flow_list.append(pair.disp2.astype(np.float32))
+        src_list.append(n2)
+        dst_list.append(n1)
+        sim_list.append(sim)
+        flow_list.append(pair.disp1.astype(np.float32))
+        msrc.append(n1)
+        mdst.append(n2)
+        msim.append(sim)
+
+    return PatchGraph(
+        image_names=list(image_ids),
+        image_facts=np.asarray(image_facts, dtype=np.float32),
+        node_image=node_image,
+        node_feature=node_feature,
+        edge_src=np.concatenate(src_list),
+        edge_dst=np.concatenate(dst_list),
+        edge_sim=np.concatenate(sim_list),
+        edge_flow=np.concatenate(flow_list),
+        match_src=np.concatenate(msrc),
+        match_dst=np.concatenate(mdst),
+        match_sim=np.concatenate(msim),
+    )

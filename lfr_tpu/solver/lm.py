@@ -1,0 +1,247 @@
+"""Batched robust Levenberg-Marquardt over padded patch-graph components.
+
+The reference solves one Ceres problem per component on a CPU thread pool
+(reference: multi-view-refinement/solve.cc:79-160,614-635).  Here the
+components — whose size the partitioner bounds — are padded into size
+buckets and solved as ONE batched LM program per bucket: residuals,
+robust weights, dense normal equations, and Cholesky solves are all
+``vmap``-ed, turning thousands of tiny sequential solves into MXU batch
+work.  Buckets shard across a device mesh (see lfr_tpu.parallel).
+
+Semantics parity:
+  * residual r = x_dst - x_src - flow(x_src), flow biquadratically
+    interpolated with clamp + zero gradient (cost.cc:74-98, 7-72);
+  * robust losses: similarity-scaled Cauchy(0.25) on intra-track edges,
+    Tukey(0.0625) on inter-track edges (solve.cc:105-122) via IRLS;
+  * anchors (track roots) frozen, all else box-bounded to +-1 displacement
+    unit (solve.cc:131-143);
+  * Ceres-style stopping rules (solve.cc:145-153).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    CAUCHY_SCALE,
+    LM_FUNCTION_TOLERANCE,
+    LM_MAX_ITERATIONS,
+    LM_PARAMETER_TOLERANCE,
+    SOLVE_BOUND,
+    TUKEY_SCALE,
+)
+from ..ops.interpolate import interpolate_flow
+
+
+@dataclasses.dataclass
+class ComponentBatch:
+    """A bucket of components padded to (n_nodes, n_edges).
+
+    Shapes: positions update applies to (B, n) nodes with 2-D params each.
+    ``edge_*`` use local node indices; invalid (padding) edges carry
+    ``edge_valid=False`` and index node 0.
+    """
+
+    edge_src: np.ndarray    # (B, E) int32
+    edge_dst: np.ndarray    # (B, E) int32
+    edge_sim: np.ndarray    # (B, E) float32
+    edge_flow: np.ndarray   # (B, E, 3, 3, 2) float32
+    edge_intra: np.ndarray  # (B, E) bool — intra-track (Cauchy) vs inter (Tukey)
+    edge_valid: np.ndarray  # (B, E) bool
+    is_root: np.ndarray     # (B, N) bool
+    node_valid: np.ndarray  # (B, N) bool
+
+    @property
+    def batch(self) -> int:
+        return self.edge_src.shape[0]
+
+    @property
+    def n_nodes(self) -> int:
+        return self.is_root.shape[1]
+
+    @property
+    def n_edges(self) -> int:
+        return self.edge_src.shape[1]
+
+
+# ---------------------------------------------------------------------------
+# Robust losses (Ceres conventions: rho(s), s = squared residual norm).
+# ---------------------------------------------------------------------------
+
+
+def cauchy_rho(s: jnp.ndarray, a: float = CAUCHY_SCALE) -> jnp.ndarray:
+    b = a * a
+    return b * jnp.log1p(s / b)
+
+
+def cauchy_weight(s: jnp.ndarray, a: float = CAUCHY_SCALE) -> jnp.ndarray:
+    b = a * a
+    return 1.0 / (1.0 + s / b)
+
+
+def tukey_rho(s: jnp.ndarray, a: float = TUKEY_SCALE) -> jnp.ndarray:
+    b = a * a
+    inner = 1.0 - s / b
+    return jnp.where(s <= b, (b / 3.0) * (1.0 - inner * inner * inner), b / 3.0)
+
+
+def tukey_weight(s: jnp.ndarray, a: float = TUKEY_SCALE) -> jnp.ndarray:
+    b = a * a
+    inner = jnp.maximum(1.0 - s / b, 0.0)
+    return inner * inner
+
+
+# ---------------------------------------------------------------------------
+# Single-component primitives (vmapped over the bucket).
+# ---------------------------------------------------------------------------
+
+
+def _edge_residuals(x, esrc, edst, eflow):
+    """r_e = x_dst - x_src - flow(x_src); also returns dflow/dx_src."""
+    xs = x[esrc]  # (E, 2)
+    xd = x[edst]
+
+    def flow_at(p, grid):
+        return interpolate_flow(grid, p[0], p[1])
+
+    flow, dflow = jax.vmap(lambda p, g: (flow_at(p, g), jax.jacfwd(flow_at)(p, g)))(
+        xs, eflow
+    )
+    r = xd - xs - flow
+    return r, dflow
+
+
+def _cost(x, batch_arrays):
+    esrc, edst, esim, eflow, eintra, evalid = batch_arrays
+    r, _ = _edge_residuals(x, esrc, edst, eflow)
+    s = jnp.sum(r * r, axis=-1)
+    rho = jnp.where(eintra, cauchy_rho(s), tukey_rho(s))
+    # Ceres cost = 1/2 sum rho (ScaledLoss multiplies rho by sim).
+    return 0.5 * jnp.sum(jnp.where(evalid, esim * rho, 0.0))
+
+
+def _normal_equations(x, batch_arrays, free):
+    """Build (H, g) of the IRLS-weighted Gauss-Newton system."""
+    esrc, edst, esim, eflow, eintra, evalid = batch_arrays
+    n = x.shape[0]
+    r, dflow = _edge_residuals(x, esrc, edst, eflow)
+    s = jnp.sum(r * r, axis=-1)
+    w = jnp.where(eintra, cauchy_weight(s), tukey_weight(s)) * esim
+    w = jnp.where(evalid, w, 0.0)
+
+    eye = jnp.eye(2, dtype=x.dtype)
+    a = -(eye[None] + dflow)          # (E, 2, 2) d r / d x_src
+    # Per-edge weighted blocks.
+    ata = w[:, None, None] * jnp.einsum("eji,ejk->eik", a, a)   # src,src
+    atb = w[:, None, None] * jnp.swapaxes(a, 1, 2)              # src,dst: a^T I
+    bta = w[:, None, None] * a                                   # dst,src
+    btb = w[:, None, None] * eye[None]                           # dst,dst
+    g_src = w[:, None] * jnp.einsum("eji,ej->ei", a, r)
+    g_dst = w[:, None] * r
+
+    H = jnp.zeros((n, n, 2, 2), dtype=x.dtype)
+    H = H.at[esrc, esrc].add(ata)
+    H = H.at[esrc, edst].add(atb)
+    H = H.at[edst, esrc].add(bta)
+    H = H.at[edst, edst].add(btb)
+    g = jnp.zeros((n, 2), dtype=x.dtype)
+    g = g.at[esrc].add(g_src)
+    g = g.at[edst].add(g_dst)
+
+    # Freeze roots / padding: zero their rows+cols, unit diagonal, zero grad.
+    fmask = free.astype(x.dtype)
+    H = H * fmask[:, None, None, None] * fmask[None, :, None, None]
+    H = jnp.transpose(H, (0, 2, 1, 3)).reshape(2 * n, 2 * n)
+    diag_fix = jnp.repeat(1.0 - fmask, 2)
+    H = H + jnp.diag(diag_fix)
+    g = g * fmask[:, None]
+    return H, g.reshape(2 * n)
+
+
+def _lm_single(x0, batch_arrays, free, max_iter):
+    """LM loop for one component.  Returns (x, iterations, final_cost)."""
+    n = x0.shape[0]
+
+    def cost_fn(x):
+        return _cost(x, batch_arrays)
+
+    def body(state):
+        x, lam, cost, done, it = state
+        H, g = _normal_equations(x, batch_arrays, free)
+        diag = jnp.clip(jnp.diag(H), 1e-6, 1e32)
+        Hd = H + lam * jnp.diag(diag)
+        # Cholesky with fallback damping baked into lam update.
+        L, low = jax.scipy.linalg.cho_factor(Hd, lower=True)
+        delta = jax.scipy.linalg.cho_solve((L, low), -g).reshape(n, 2)
+        delta = jnp.where(free[:, None], delta, 0.0)
+        x_new = jnp.clip(x + delta, -SOLVE_BOUND, SOLVE_BOUND)
+        new_cost = cost_fn(x_new)
+        finite = jnp.isfinite(new_cost)
+        accept = finite & (new_cost < cost)
+
+        x = jnp.where(accept, x_new, x)
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-10), jnp.minimum(lam * 4.0, 1e10))
+        step_small = jnp.max(jnp.abs(delta)) <= LM_PARAMETER_TOLERANCE * (
+            jnp.max(jnp.abs(x)) + LM_PARAMETER_TOLERANCE
+        )
+        cost_small = jnp.abs(cost - new_cost) <= LM_FUNCTION_TOLERANCE * jnp.maximum(cost, 1e-20)
+        done = done | (accept & (cost_small | step_small)) | (~finite)
+        cost = jnp.where(accept, new_cost, cost)
+        return x, lam, cost, done, it + 1
+
+    def cond(state):
+        _, _, _, done, it = state
+        return (~done) & (it < max_iter)
+
+    init = (x0, jnp.asarray(1e-4, x0.dtype), cost_fn(x0), jnp.asarray(False), jnp.asarray(0))
+    x, _, cost, _, it = jax.lax.while_loop(cond, body, init)
+    return x, it, cost
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def solve_component_batch(
+    edge_src,
+    edge_dst,
+    edge_sim,
+    edge_flow,
+    edge_intra,
+    edge_valid,
+    is_root,
+    node_valid,
+    max_iter: int = LM_MAX_ITERATIONS,
+):
+    """vmap-ed LM over a padded bucket.  Returns (B, N, 2) positions."""
+    b, n = is_root.shape
+    x0 = jnp.zeros((b, n, 2), dtype=jnp.float32)
+    free = node_valid & ~is_root
+
+    def solve_one(x0_i, esrc, edst, esim, eflow, eintra, evalid, free_i):
+        arrays = (esrc, edst, esim, eflow, eintra, evalid)
+        x, it, cost = _lm_single(x0_i, arrays, free_i, max_iter)
+        return x
+
+    return jax.vmap(solve_one)(
+        x0, edge_src, edge_dst, edge_sim, edge_flow, edge_intra, edge_valid, free
+    )
+
+
+def solve_batch(batch: ComponentBatch, max_iter: int = LM_MAX_ITERATIONS) -> np.ndarray:
+    """Host-friendly wrapper: numpy in, numpy (B, N, 2) out."""
+    out = solve_component_batch(
+        jnp.asarray(batch.edge_src),
+        jnp.asarray(batch.edge_dst),
+        jnp.asarray(batch.edge_sim),
+        jnp.asarray(batch.edge_flow),
+        jnp.asarray(batch.edge_intra),
+        jnp.asarray(batch.edge_valid),
+        jnp.asarray(batch.is_root),
+        jnp.asarray(batch.node_valid),
+        max_iter=max_iter,
+    )
+    return np.asarray(out)

@@ -1,0 +1,125 @@
+"""Multi-view solve driver: matches file -> refined displacements.
+
+The TPU-native counterpart of the reference ``solve`` binary
+(reference: multi-view-refinement/solve.cc:375-682): host builds the patch
+graph, tracks, and bounded components; the device solves all components as
+padded LM batches; results are written as a reference-compatible
+SolutionFile.  Prints the same health counters the reference does
+(solve.cc:483-485,534,548-549,585-591,606,637-641,666-670).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from typing import Dict, List, Optional, Sequence, Set
+
+import numpy as np
+
+from ..io import protos
+from . import buckets as buckets_mod
+from . import graph as graph_mod
+from . import partition as partition_mod
+from . import tracks as tracks_mod
+from .lm import solve_batch
+
+
+def solve_matches(
+    pairs: Sequence[protos.PairMatches],
+    banned_images: Optional[Set[str]] = None,
+    max_iter: int = None,
+    verbose: bool = True,
+) -> List[protos.ImageSolution]:
+    """Full multi-view optimization over decoded match pairs."""
+    from ..config import LM_MAX_ITERATIONS
+
+    if max_iter is None:
+        max_iter = LM_MAX_ITERATIONS
+
+    def log(msg):
+        if verbose:
+            print(msg, flush=True)
+
+    graph = graph_mod.build_graph(pairs, banned_images)
+    log(f"# graph nodes: {graph.num_nodes}")
+    log(f"# graph edges: {graph.num_edges}")
+
+    t_start = time.time()
+    tracks = tracks_mod.build_tracks(graph)
+    log(f"# tracks: {tracks.num_tracks}")
+    log(f"max track size: {tracks.max_track_size}")
+
+    t1 = time.time()
+    component_idx = partition_mod.partition_components(graph, tracks)
+    t2 = time.time()
+    log(f"Graph-cut time: {int((t2 - t1) * 1000)}ms")
+    n_components = int(component_idx.max()) + 1 if component_idx.size else 0
+    log(f"# components: {n_components}")
+    if n_components:
+        log(f"max component size: {int(np.bincount(component_idx).max())}")
+
+    positions = np.zeros((graph.num_nodes, 2), dtype=np.float32)
+    t1 = time.time()
+    packed = buckets_mod.pack_components(graph, tracks, component_idx)
+    for batch, node_map in zip(packed.batches, packed.node_maps):
+        solved = solve_batch(batch, max_iter=max_iter)
+        valid = node_map >= 0
+        positions[node_map[valid]] = solved[valid]
+    t2 = time.time()
+    log(f"Solver time: {int((t2 - t1) * 1000)}ms")
+    log(f"Total time: {int((t2 - t_start) * 1000)}ms")
+
+    nb_outside = int((np.abs(positions) > 0.5).any(axis=1).sum())
+    log(f"# points with at least one coordinate > 0.5: {nb_outside}")
+
+    # Assemble per-image solutions; images ordered by first appearance in the
+    # node list, features in node order (reference: solve.cc:643-671).
+    solutions: List[protos.ImageSolution] = []
+    n_images = len(graph.image_names)
+    if graph.num_nodes:
+        first_seen = np.full(n_images, graph.num_nodes, dtype=np.int64)
+        np.minimum.at(first_seen, graph.node_image, np.arange(graph.num_nodes))
+        node_order = np.argsort(graph.node_image, kind="stable")
+        img_sorted = graph.node_image[node_order]
+        starts = np.searchsorted(img_sorted, np.arange(n_images))
+        ends = np.append(starts[1:], graph.num_nodes)
+        for img in np.argsort(first_seen, kind="stable"):
+            if first_seen[img] == graph.num_nodes:
+                continue  # image present only via banned pairs
+            nodes = node_order[starts[img] : ends[img]]
+            solutions.append(
+                protos.ImageSolution(
+                    graph.image_names[img],
+                    float(graph.image_facts[img]),
+                    graph.node_feature[nodes].astype(np.uint32),
+                    positions[nodes],
+                )
+            )
+    return solutions
+
+
+def solve_file(
+    matches_file: str,
+    output_file: str,
+    banned_images: Optional[Set[str]] = None,
+    verbose: bool = True,
+) -> None:
+    pairs = protos.read_matching_file(matches_file)
+    solutions = solve_matches(pairs, banned_images, verbose=verbose)
+    protos.write_solution_file(output_file, solutions)
+
+
+def main(argv=None) -> None:
+    from ..utils.platform import select_platform
+
+    select_platform()
+    parser = argparse.ArgumentParser(description="multi-view patch-graph solver")
+    parser.add_argument("--matches_file", required=True)
+    parser.add_argument("--output_file", required=True)
+    parser.add_argument("--banned_images", nargs="*", default=[])
+    args = parser.parse_args(argv)
+    solve_file(args.matches_file, args.output_file, set(args.banned_images))
+
+
+if __name__ == "__main__":
+    main()
