@@ -1,0 +1,158 @@
+"""Geometric verification: batched RANSAC on device.
+
+Replaces the reference's ``colmap matches_importer`` round-trip
+(reference: colmap_utils.py:196-201).  For each image pair, S fundamental
+(or homography) hypotheses are estimated and scored *simultaneously* as one
+vmapped program — hypothesis parallelism on the MXU instead of COLMAP's
+sequential CPU RANSAC — followed by a weighted refit on the best inlier
+set.  Pairs are padded to match-count buckets so consecutive pairs share
+compiled programs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+#: COLMAP two-view-geometry configurations (public COLMAP convention).
+CONFIG_DEGENERATE = 1
+CONFIG_CALIBRATED = 2
+CONFIG_UNCALIBRATED = 3
+CONFIG_PLANAR_OR_PANORAMIC = 6
+
+#: Defaults mirroring COLMAP's TwoViewGeometryOptions.
+MAX_ERROR_PX = 4.0
+MIN_NUM_INLIERS = 15
+NUM_HYPOTHESES = 256
+MATCH_BUCKET = 512
+
+from . import geometry
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def _ransac_fundamental(x1, x2, valid, key, num_hypotheses: int = NUM_HYPOTHESES):
+    """Batched-hypothesis RANSAC for F.
+
+    x1, x2: (N, 2) padded correspondences; valid: (N,) mask.
+    Returns (F_best, inlier_mask, num_inliers).
+    """
+    n = x1.shape[0]
+    n_valid = jnp.sum(valid)
+
+    # Sample 8-point minimal sets from valid indices (with replacement across
+    # hypotheses; within a hypothesis indices are distinct w.h.p.).
+    probs = valid.astype(jnp.float32) / jnp.maximum(n_valid, 1)
+    idx = jax.random.choice(key, n, shape=(num_hypotheses, 8), replace=True, p=probs)
+
+    def one_hypothesis(sample_idx):
+        F = geometry.fundamental_8point(x1[sample_idx], x2[sample_idx])
+        err = geometry.sampson_error(F, x1, x2)
+        inl = (err <= MAX_ERROR_PX**2) & valid
+        return F, jnp.sum(inl)
+
+    Fs, scores = jax.vmap(one_hypothesis)(idx)
+    best = jnp.argmax(scores)
+    F = Fs[best]
+
+    # Local optimization: two weighted refits on the inlier set.
+    def refit(F, _):
+        err = geometry.sampson_error(F, x1, x2)
+        w = ((err <= MAX_ERROR_PX**2) & valid).astype(jnp.float32)
+        F2 = geometry.fundamental_8point(x1, x2, w)
+        return F2, None
+
+    F, _ = jax.lax.scan(refit, F, None, length=2)
+    err = geometry.sampson_error(F, x1, x2)
+    inliers = (err <= MAX_ERROR_PX**2) & valid
+    return F, inliers, jnp.sum(inliers)
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def _ransac_homography(x1, x2, valid, key, num_hypotheses: int = NUM_HYPOTHESES):
+    n = x1.shape[0]
+    n_valid = jnp.sum(valid)
+    probs = valid.astype(jnp.float32) / jnp.maximum(n_valid, 1)
+    idx = jax.random.choice(key, n, shape=(num_hypotheses, 4), replace=True, p=probs)
+
+    def one_hypothesis(sample_idx):
+        H = geometry.homography_dlt(x1[sample_idx], x2[sample_idx])
+        err = geometry.homography_error(H, x1, x2)
+        inl = (err <= MAX_ERROR_PX**2) & valid
+        return H, jnp.sum(inl)
+
+    Hs, scores = jax.vmap(one_hypothesis)(idx)
+    best = jnp.argmax(scores)
+    H = Hs[best]
+    err = geometry.homography_error(H, x1, x2)
+    inliers = (err <= MAX_ERROR_PX**2) & valid
+    return H, inliers, jnp.sum(inliers)
+
+
+@dataclasses.dataclass
+class TwoViewGeometry:
+    inlier_matches: np.ndarray  # (K, 2) feature index pairs
+    config: int
+    F: np.ndarray
+    H: Optional[np.ndarray] = None
+
+
+def _pad_points(x: np.ndarray, bucket: int) -> Tuple[np.ndarray, np.ndarray]:
+    n = x.shape[0]
+    target = max(bucket, -(-n // bucket) * bucket)
+    out = np.zeros((target, 2), np.float32)
+    out[:n] = x
+    valid = np.zeros(target, bool)
+    valid[:n] = True
+    return out, valid
+
+
+def verify_pair(
+    keypoints1: np.ndarray,
+    keypoints2: np.ndarray,
+    matches: np.ndarray,
+    seed: int = 0,
+    min_num_inliers: int = MIN_NUM_INLIERS,
+) -> TwoViewGeometry:
+    """Epipolar verification of one pair's putative matches.
+
+    Emulates COLMAP's classification: estimate F and H; report degenerate /
+    planar when H explains (almost) as many inliers as F.
+    """
+    if matches.shape[0] < 8:
+        return TwoViewGeometry(np.zeros((0, 2), np.uint32), CONFIG_DEGENERATE, np.eye(3))
+
+    x1 = keypoints1[matches[:, 0], :2].astype(np.float32)
+    x2 = keypoints2[matches[:, 1], :2].astype(np.float32)
+    x1p, valid = _pad_points(x1, MATCH_BUCKET)
+    x2p, _ = _pad_points(x2, MATCH_BUCKET)
+
+    key = jax.random.PRNGKey(seed)
+    kF, kH = jax.random.split(key)
+    F, inl_F, n_F = _ransac_fundamental(
+        jnp.asarray(x1p), jnp.asarray(x2p), jnp.asarray(valid), kF
+    )
+    H, inl_H, n_H = _ransac_homography(
+        jnp.asarray(x1p), jnp.asarray(x2p), jnp.asarray(valid), kH
+    )
+    n_F = int(n_F)
+    n_H = int(n_H)
+
+    if n_F < min_num_inliers:
+        return TwoViewGeometry(np.zeros((0, 2), np.uint32), CONFIG_DEGENERATE, np.asarray(F))
+
+    # COLMAP planarity test: H inliers / F inliers >= 0.8 -> planar/panoramic.
+    if n_H >= 0.8 * n_F:
+        mask = np.asarray(inl_H)[: matches.shape[0]]
+        config = CONFIG_PLANAR_OR_PANORAMIC
+    else:
+        mask = np.asarray(inl_F)[: matches.shape[0]]
+        config = CONFIG_UNCALIBRATED
+
+    return TwoViewGeometry(
+        matches[mask].astype(np.uint32), config, np.asarray(F), np.asarray(H)
+    )

@@ -1,1 +1,1 @@
-from . import buckets, graph, lm, partition, solve, tracks  # noqa: F401
+from . import buckets, graph, lm, partition, tracks  # noqa: F401
