@@ -117,8 +117,14 @@ def read_cameras_txt(path: str) -> Dict[int, Camera]:
 def read_images_txt(path: str) -> Dict[int, Image]:
     images: Dict[int, Image] = {}
     with open(path, "r") as fh:
-        lines = [ln.strip() for ln in fh if ln.strip() and not ln.strip().startswith("#")]
+        # Keep empty lines: an image with zero points2D still occupies its
+        # second line, and dropping it would desynchronize the alternation.
+        lines = [ln.strip() for ln in fh if not ln.strip().startswith("#")]
+    while lines and not lines[-1]:
+        lines.pop()
     for pose_line, pts_line in zip(lines[::2], lines[1::2] + [""] * (len(lines) % 2)):
+        if not pose_line:
+            continue
         parts = pose_line.split()
         image = Image(
             image_id=int(parts[0]),

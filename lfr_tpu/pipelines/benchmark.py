@@ -1,0 +1,121 @@
+"""Unified benchmark driver: match -> solve -> reconstruct -> evaluate.
+
+One program replacing the reference's three near-identical subprocess
+drivers (reference: eth/benchmark.py:94-149, local-feature-evaluation/
+benchmark.py:85-126, custom_demo.py:87-126), always producing the
+refined/raw A/B pair.  Method hyper-parameters come from the single config
+registry (lfr_tpu.config.METHODS).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Optional
+
+from ..config import get_method
+from ..io import protos
+from ..solver import solve as solve_mod
+from . import match_graph as mg_mod
+from . import triangulation as tri_pipeline
+
+
+def run_eth(
+    dataset_path: str,
+    method_name: str,
+    output_path: str = "output",
+    skip_refinement: bool = False,
+    checkpoint: Optional[str] = None,
+    evaluate: bool = True,
+    verbose: bool = True,
+) -> dict:
+    """ETH3D triangulation benchmark for one dataset
+    (reference: eth/benchmark.py:69-149)."""
+    method = get_method(method_name)
+    dataset_name = os.path.basename(os.path.normpath(dataset_path))
+    os.makedirs(output_path, exist_ok=True)
+
+    matches_file = os.path.join(output_path, f"{method_name}-{dataset_name}-matches.pb")
+    solution_file = os.path.join(output_path, f"{method_name}-{dataset_name}-solution.pb")
+    scan_file = os.path.join(dataset_path, "dslr_scan_eval", "scan_alignment.mlp")
+
+    # Two-view stage.
+    refiner = None
+    if not skip_refinement:
+        from .refinement import TwoViewRefiner
+
+        variables = None
+        if checkpoint:
+            from ..models.torch_import import load_checkpoint
+
+            variables = load_checkpoint(checkpoint)
+        refiner = TwoViewRefiner(variables=variables)
+
+    mg_mod.compute_match_graph(
+        os.path.join(dataset_path, "images"),
+        os.path.join(dataset_path, "match-list.txt"),
+        method,
+        matches_file,
+        refiner=refiner,
+        skip_refinement=skip_refinement,
+        progress=verbose,
+    )
+
+    # Multi-view solve.
+    if not skip_refinement:
+        solve_mod.solve_file(matches_file, solution_file, verbose=verbose)
+
+    results = {}
+    runs = [("raw", None)] if skip_refinement else [("ref", solution_file), ("raw", None)]
+    for tag, sol in runs:
+        stats = tri_pipeline.triangulation_pipeline(
+            dataset_path, method_name, matches_file, sol, verbose=verbose
+        )
+        results[tag] = stats
+        ply = os.path.join(dataset_path, f"sparse-{method_name}-{tag}.ply")
+        if evaluate and os.path.exists(scan_file):
+            from ..eval import eth3d
+
+            ev = eth3d.evaluate_ply(ply, scan_file)
+            results[tag]["evaluation"] = ev
+            out_txt = os.path.join(output_path, f"{method_name}-{dataset_name}-{tag}.txt")
+            with open(out_txt, "w") as fh:
+                fh.write(eth3d.format_results(ev))
+
+    with open(
+        os.path.join(output_path, f"{method_name}-{dataset_name}-stats.json"), "w"
+    ) as fh:
+        json.dump(results, fh, indent=2)
+    return results
+
+
+def main(argv=None) -> None:
+    from ..utils.platform import select_platform
+
+    select_platform()
+    parser = argparse.ArgumentParser(description="lfr_tpu benchmark driver")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_eth = sub.add_parser("eth", help="ETH3D triangulation benchmark")
+    p_eth.add_argument("--dataset_path", required=True)
+    p_eth.add_argument("--method_name", required=True)
+    p_eth.add_argument("--output_path", default="output")
+    p_eth.add_argument("--checkpoint", default=None)
+    p_eth.add_argument("--no_eval", action="store_true")
+
+    args = parser.parse_args(argv)
+    skip = "SKIP_REFINEMENT" in os.environ
+    if args.command == "eth":
+        run_eth(
+            args.dataset_path,
+            args.method_name,
+            args.output_path,
+            skip_refinement=skip,
+            checkpoint=args.checkpoint,
+            evaluate=not args.no_eval,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -89,6 +89,114 @@ class Scene:
         return self.rotations.shape[0]
 
 
+def make_eth3d_dataset(
+    root: str,
+    scene: "Scene",
+    rng: np.random.Generator,
+    method: str = "sift",
+    keypoint_noise_px: float = 0.0,
+    descriptor_dim: int = 128,
+) -> str:
+    """Materialize an ETH3D-layout dataset from a synthetic scene.
+
+    Layout (reference: eth/benchmark.py:81-91, triangulation_pipeline.py):
+      images/ + per-image ``<name>.<method>`` npz features,
+      database.db (cameras + images only),
+      dslr_calibration_undistorted/ (ground-truth model, no points),
+      dslr_scan_eval/scan_alignment.mlp (+ scan ply),
+      match-list.txt (exhaustive).
+
+    Feature index == scene point index in every image; descriptors are
+    per-point unit vectors plus per-image noise so MNN matching recovers
+    ground-truth correspondences.
+    """
+    import os
+
+    from ..io import colmap_db, colmap_model, features, match_list
+
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    os.makedirs(os.path.join(root, "dslr_scan_eval"), exist_ok=True)
+
+    point_desc = rng.standard_normal((scene.points.shape[0], descriptor_dim)).astype(np.float32)
+    point_desc /= np.linalg.norm(point_desc, axis=1, keepdims=True)
+
+    db = colmap_db.ColmapDatabase.create(os.path.join(root, "database.db"))
+    cam_id = db.add_camera(
+        1, scene.width, scene.height,
+        np.array([scene.K[0, 0], scene.K[1, 1], scene.K[0, 2], scene.K[1, 2]]),
+    )
+    gt = colmap_model.Model()
+    gt.cameras[cam_id] = colmap_model.Camera(
+        cam_id, "PINHOLE", scene.width, scene.height,
+        np.array([scene.K[0, 0], scene.K[1, 1], scene.K[0, 2], scene.K[1, 2]]),
+    )
+
+    names = []
+    for c in range(scene.num_cameras):
+        name = f"im{c:02d}.png"
+        names.append(name)
+        img = textured_image(rng, scene.height, scene.width)
+        try:
+            import cv2
+
+            cv2.imwrite(os.path.join(root, "images", name), img[:, :, ::-1])
+        except ImportError:
+            from PIL import Image as PILImage
+
+            PILImage.fromarray(img).save(os.path.join(root, "images", name))
+        iid = db.add_image(name, cam_id)
+        gt.images[iid] = colmap_model.Image(
+            iid,
+            colmap_model.rotmat_to_qvec(scene.rotations[c]),
+            scene.translations[c],
+            cam_id,
+            name,
+        )
+        obs = scene.observations[c].copy()
+        if keypoint_noise_px:
+            obs += rng.normal(0, keypoint_noise_px, obs.shape)
+        # npz features use the -0.5 convention relative to COLMAP pixel
+        # centers (reference: utils/extract_features_sift.py:93); the import
+        # stage adds the 0.5 back.
+        kp = np.hstack(
+            [obs - 0.5, np.ones((obs.shape[0], 1)), np.zeros((obs.shape[0], 1))]
+        )
+        desc = point_desc + 0.05 * rng.standard_normal(point_desc.shape).astype(np.float32)
+        desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+        # Hide invisible points' descriptors so they can't match.
+        invis = ~scene.visible[c]
+        desc[invis] = rng.standard_normal((int(invis.sum()), descriptor_dim))
+        desc[invis] /= np.linalg.norm(desc[invis], axis=1, keepdims=True)
+        features.save_features(
+            os.path.join(root, "images", name), kp, desc, method_name=method
+        )
+    db.commit()
+    db.close()
+
+    colmap_model.write_model(os.path.join(root, "dslr_calibration_undistorted"), gt)
+    match_list.write_match_list(
+        os.path.join(root, "match-list.txt"), match_list.exhaustive_pairs(names)
+    )
+
+    # Ground-truth "scan": the scene points themselves.
+    scan_pts = {
+        i + 1: colmap_model.Point3D(
+            i + 1, scene.points[i], np.full(3, 200, np.uint8), 0.0,
+            np.zeros(0, np.int64), np.zeros(0, np.int64),
+        )
+        for i in range(scene.points.shape[0])
+    }
+    colmap_model.write_ply(os.path.join(root, "dslr_scan_eval", "scan.ply"), scan_pts)
+    with open(os.path.join(root, "dslr_scan_eval", "scan_alignment.mlp"), "w") as fh:
+        fh.write(
+            '<!DOCTYPE MeshLabDocument>\n<MeshLabProject>\n <MeshGroup>\n'
+            '  <MLMesh filename="scan.ply" label="scan">\n'
+            "   <MLMatrix44>\n1 0 0 0 \n0 1 0 0 \n0 0 1 0 \n0 0 0 1 \n</MLMatrix44>\n"
+            "  </MLMesh>\n </MeshGroup>\n</MeshLabProject>\n"
+        )
+    return root
+
+
 def random_scene(
     rng: np.random.Generator,
     num_points: int = 200,

@@ -1,0 +1,180 @@
+"""SfM layer tests: geometry primitives, RANSAC verification, triangulation."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lfr_tpu.io import colmap_db, colmap_model
+from lfr_tpu.sfm import cameras as cam_mod
+from lfr_tpu.sfm import geometry, triangulate, verify
+from lfr_tpu.utils import synthetic
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return synthetic.random_scene(np.random.default_rng(0), num_points=150, num_cameras=4)
+
+
+def test_project_triangulate_roundtrip(scene):
+    # Two cameras, batched DLT on all points visible in both.
+    vis = scene.visible[0] & scene.visible[1]
+    pts = scene.points[vis]
+    P = np.stack(
+        [
+            np.asarray(geometry.projection_matrix(
+                jnp.asarray(scene.rotations[c]), jnp.asarray(scene.translations[c]), jnp.asarray(scene.K)
+            ))
+            for c in (0, 1)
+        ]
+    )
+    uv = np.stack([scene.observations[0][vis], scene.observations[1][vis]], axis=1)
+    T = uv.shape[0]
+    Pb = np.tile(P[None], (T, 1, 1, 1))
+    mask = np.ones((T, 2), bool)
+    X = np.asarray(
+        geometry.triangulate_dlt_batch(jnp.asarray(Pb), jnp.asarray(uv), jnp.asarray(mask))
+    )
+    np.testing.assert_allclose(X, pts, atol=1e-3)  # float32 SVD precision
+
+
+def test_fundamental_from_correspondences(scene):
+    vis = scene.visible[0] & scene.visible[1]
+    x1 = scene.observations[0][vis].astype(np.float32)
+    x2 = scene.observations[1][vis].astype(np.float32)
+    F = geometry.fundamental_8point(jnp.asarray(x1), jnp.asarray(x2))
+    err = np.asarray(geometry.sampson_error(F, jnp.asarray(x1), jnp.asarray(x2)))
+    assert np.sqrt(err).max() < 0.1  # noiseless -> tiny epipolar error
+
+
+def test_essential_decomposition_recovers_pose(scene):
+    vis = scene.visible[0] & scene.visible[1]
+    x1 = scene.observations[0][vis].astype(np.float64)
+    x2 = scene.observations[1][vis].astype(np.float64)
+    F = geometry.fundamental_8point(jnp.asarray(x1), jnp.asarray(x2))
+    K = jnp.asarray(scene.K)
+    E = geometry.essential_from_fundamental(F, K, K)
+    # Relative pose ground truth: cam2 from cam1.
+    R_rel = scene.rotations[1] @ scene.rotations[0].T
+    t_rel = scene.translations[1] - R_rel @ scene.translations[0]
+    t_rel /= np.linalg.norm(t_rel)
+    best = min(
+        min(
+            np.abs(np.asarray(R) - R_rel).max(),
+            np.abs(np.asarray(R) - R_rel.T).max(),
+        )
+        + min(np.abs(np.asarray(t) - t_rel).max(), np.abs(np.asarray(t) + t_rel).max())
+        for R, t in geometry.decompose_essential(E)
+    )
+    assert best < 1e-3
+
+
+def test_ransac_verification_rejects_outliers(scene):
+    rng = np.random.default_rng(1)
+    vis = scene.visible[0] & scene.visible[1]
+    idx = np.nonzero(vis)[0]
+    kps1 = scene.observations[0]
+    kps2 = scene.observations[1].copy()
+    matches = np.stack([idx, idx], axis=1)
+    # Corrupt 30% of matches with random targets.
+    n_bad = len(idx) // 3
+    bad = rng.choice(len(idx), n_bad, replace=False)
+    kps2_corrupt = kps2.copy()
+    corrupt_rows = idx[bad]
+    kps2_corrupt[corrupt_rows] = rng.uniform(0, 600, (n_bad, 2))
+
+    result = verify.verify_pair(kps1, kps2_corrupt, matches, seed=0)
+    assert result.config != verify.CONFIG_DEGENERATE
+    good_set = set(idx[k] for k in range(len(idx)) if k not in set(bad))
+    bad_set = set(corrupt_rows.tolist())
+    inl = set(result.inlier_matches[:, 0].tolist())
+    # High recall on uncorrupted matches; corrupted survivors limited to the
+    # few whose random target happens to land near the epipolar line
+    # (Sampson distance cannot reject along-epipolar outliers).
+    assert len(inl & good_set) > 0.9 * len(good_set)
+    assert len(inl & bad_set) <= 0.2 * len(bad_set)
+
+
+def test_ransac_degenerate_too_few():
+    r = verify.verify_pair(np.zeros((5, 2)), np.zeros((5, 2)), np.zeros((5, 2), int))
+    assert r.config == verify.CONFIG_DEGENERATE
+    assert r.inlier_matches.shape[0] == 0
+
+
+def test_camera_distortion_roundtrip():
+    cam = colmap_model.Camera(1, "SIMPLE_RADIAL", 640, 480, np.array([500.0, 320.0, 240.0, -0.05]))
+    rng = np.random.default_rng(2)
+    xy = rng.uniform(-0.4, 0.4, (50, 2))
+    dist = cam_mod.distort_normalized(cam, xy)
+    undist = cam_mod.undistort_normalized(cam, dist)
+    np.testing.assert_allclose(undist, xy, atol=1e-8)
+
+
+def _scene_to_db_and_model(scene, tmp_path, noise=0.0, outlier_frac=0.0, seed=0):
+    rng = np.random.default_rng(seed)
+    db = colmap_db.ColmapDatabase.create(str(tmp_path / "db.db"))
+    cam_id = db.add_camera(
+        1, scene.width, scene.height,
+        np.array([scene.K[0, 0], scene.K[1, 1], scene.K[0, 2], scene.K[1, 2]]),
+    )
+    model = colmap_model.Model()
+    model.cameras[cam_id] = colmap_model.Camera(
+        cam_id, "PINHOLE", scene.width, scene.height,
+        np.array([scene.K[0, 0], scene.K[1, 1], scene.K[0, 2], scene.K[1, 2]]),
+    )
+    image_ids = []
+    for c in range(scene.num_cameras):
+        iid = db.add_image(f"im{c}.jpg", cam_id)
+        image_ids.append(iid)
+        obs = scene.observations[c] + (rng.normal(0, noise, scene.observations[c].shape) if noise else 0)
+        kp = np.hstack([obs, np.ones((obs.shape[0], 1)), np.zeros((obs.shape[0], 1))])
+        db.set_keypoints(iid, kp.astype(np.float32))
+        q = colmap_model.rotmat_to_qvec(scene.rotations[c])
+        model.images[iid] = colmap_model.Image(
+            iid, q, scene.translations[c], cam_id, f"im{c}.jpg"
+        )
+    # Pairwise "verified matches" = shared visible points (+ optional junk).
+    for a in range(scene.num_cameras):
+        for b in range(a + 1, scene.num_cameras):
+            vis = scene.visible[a] & scene.visible[b]
+            idx = np.nonzero(vis)[0]
+            m = np.stack([idx, idx], axis=1)
+            others = np.nonzero(~vis)[0]
+            if outlier_frac and len(idx) and len(others):
+                n_bad = min(int(len(idx) * outlier_frac), len(others))
+                junk = np.stack(
+                    [rng.choice(idx, n_bad), rng.choice(others, n_bad, replace=False)], axis=1
+                )
+                m = np.concatenate([m, junk])
+            db.set_two_view_geometry(image_ids[a], image_ids[b], m)
+    db.commit()
+    return db, model
+
+
+def test_triangulation_recovers_scene(scene, tmp_path):
+    db, empty = _scene_to_db_and_model(scene, tmp_path)
+    result = triangulate.triangulate_model(db, empty)
+    stats = result.stats
+    assert stats["num_reg_images"] == scene.num_cameras
+    assert stats["num_sparse_points"] > 100
+    assert stats["mean_reproj_error"] < 0.5
+    assert stats["mean_track_length"] > 2.5
+
+    # Points must coincide with ground truth (matched by track feature idx).
+    errs = []
+    for p in result.model.points3D.values():
+        gt = scene.points[p.point2D_idxs[0]]  # feature idx == point idx here
+        errs.append(np.linalg.norm(p.xyz - gt))
+    assert np.median(errs) < 1e-3
+
+
+def test_triangulation_with_noise_and_outliers(scene, tmp_path):
+    db, empty = _scene_to_db_and_model(scene, tmp_path, noise=0.5, outlier_frac=0.1, seed=3)
+    result = triangulate.triangulate_model(db, empty)
+    stats = result.stats
+    assert stats["num_sparse_points"] > 80
+    assert stats["mean_reproj_error"] < 1.5
+    errs = [
+        np.linalg.norm(p.xyz - scene.points[p.point2D_idxs[0]])
+        for p in result.model.points3D.values()
+    ]
+    assert np.median(errs) < 0.05  # ~0.03 expected at 0.5px noise, f=500, depth ~6
