@@ -90,6 +90,63 @@ def run_eth(
     return results
 
 
+def run_sfm(
+    dataset_path: str,
+    method_name: str,
+    output_path: str = "output",
+    skip_refinement: bool = False,
+    checkpoint: Optional[str] = None,
+    verbose: bool = True,
+) -> dict:
+    """Full-SfM benchmark for one dataset — the LFE / custom-demo path
+    (reference: local-feature-evaluation/benchmark.py:85-126,
+    custom_demo.py:87-126)."""
+    from . import reconstruction as rec_pipeline
+
+    method = get_method(method_name)
+    dataset_name = os.path.basename(os.path.normpath(dataset_path))
+    os.makedirs(output_path, exist_ok=True)
+
+    matches_file = os.path.join(output_path, f"{method_name}-{dataset_name}-matches.pb")
+    solution_file = os.path.join(output_path, f"{method_name}-{dataset_name}-solution.pb")
+
+    refiner = None
+    if not skip_refinement:
+        from .refinement import TwoViewRefiner
+
+        variables = None
+        if checkpoint:
+            from ..models.torch_import import load_checkpoint
+
+            variables = load_checkpoint(checkpoint)
+        refiner = TwoViewRefiner(variables=variables)
+
+    mg_mod.compute_match_graph(
+        os.path.join(dataset_path, "images"),
+        os.path.join(dataset_path, "match-list.txt"),
+        method,
+        matches_file,
+        refiner=refiner,
+        skip_refinement=skip_refinement,
+        progress=verbose,
+    )
+    if not skip_refinement:
+        solve_mod.solve_file(matches_file, solution_file, verbose=verbose)
+
+    results = {}
+    runs = [("raw", None)] if skip_refinement else [("ref", solution_file), ("raw", None)]
+    for tag, sol in runs:
+        out_json = os.path.join(output_path, f"{method_name}-{dataset_name}-{tag}.json")
+        results[tag] = rec_pipeline.reconstruction_pipeline(
+            dataset_path, method_name, matches_file, sol, out_json, verbose=verbose
+        )
+    with open(
+        os.path.join(output_path, f"{method_name}-{dataset_name}-stats.json"), "w"
+    ) as fh:
+        json.dump(results, fh, indent=2)
+    return results
+
+
 def main(argv=None) -> None:
     from ..utils.platform import select_platform
 
@@ -104,6 +161,16 @@ def main(argv=None) -> None:
     p_eth.add_argument("--checkpoint", default=None)
     p_eth.add_argument("--no_eval", action="store_true")
 
+    for name, helptext in [
+        ("lfe", "local-feature-evaluation SfM benchmark"),
+        ("custom", "custom-dataset SfM benchmark"),
+    ]:
+        p = sub.add_parser(name, help=helptext)
+        p.add_argument("--dataset_path", required=True)
+        p.add_argument("--method_name", required=True)
+        p.add_argument("--output_path", default="output")
+        p.add_argument("--checkpoint", default=None)
+
     args = parser.parse_args(argv)
     skip = "SKIP_REFINEMENT" in os.environ
     if args.command == "eth":
@@ -114,6 +181,14 @@ def main(argv=None) -> None:
             skip_refinement=skip,
             checkpoint=args.checkpoint,
             evaluate=not args.no_eval,
+        )
+    else:
+        run_sfm(
+            args.dataset_path,
+            args.method_name,
+            args.output_path,
+            skip_refinement=skip,
+            checkpoint=args.checkpoint,
         )
 
 

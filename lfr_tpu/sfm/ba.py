@@ -1,0 +1,299 @@
+"""Bundle adjustment: batched Schur-complement LM on device.
+
+Replaces the BA that the reference gets implicitly from ``colmap mapper`` /
+``point_triangulator`` (reference: colmap_utils.py:226-319).  Design:
+
+  * observations are flat arrays (cam_idx, pt_idx, uv) — residuals and
+    Jacobians evaluate as one vmapped program;
+  * the point block C of the normal equations is block-diagonal 3x3 and
+    inverts in closed form, batched;
+  * the reduced camera system S = B - E C^-1 E^T assembles from per-point
+    padded observation groups (pairs of cameras observing the same point)
+    with scatter-adds, then solves by dense Cholesky;
+  * points back-substitute in parallel.
+
+Camera increments use the SO(3) exponential retraction R <- exp(w) R.
+Gauge freedom is handled by freezing designated cameras + LM damping.
+Observations shard over the device mesh for multi-chip scaling: each shard
+accumulates partial (S, rhs) and a ``psum`` reduces them (see
+lfr_tpu.parallel.sharded_ba).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HUBER_DELTA_PX = 4.0
+
+
+@dataclasses.dataclass
+class BAProblem:
+    """Flat bundle-adjustment problem in *normalized* camera coordinates.
+
+    Observations must be grouped by point: ``obs_pt`` is non-decreasing.
+    ``point_obs_start[p] : point_obs_start[p] + point_obs_count[p]`` indexes
+    point p's observations.  uv are undistorted normalized coords; residual
+    scaling to pixels happens via ``focal`` per observation.
+    """
+
+    R: np.ndarray            # (C, 3, 3) world->cam
+    t: np.ndarray            # (C, 3)
+    points: np.ndarray       # (P, 3)
+    obs_cam: np.ndarray      # (O,)
+    obs_pt: np.ndarray       # (O,)
+    obs_uv: np.ndarray       # (O, 2) normalized
+    obs_focal: np.ndarray    # (O,) pixels-per-normalized-unit (for weighting)
+    #: (C,) bool (fix whole pose) or (C, 6) bool per-parameter [w, dt] mask
+    #: (per-parameter masks implement gauge fixing: freeze camera 0 fully
+    #: plus one translation axis of camera 1, COLMAP-style).
+    fixed_cameras: np.ndarray
+
+
+def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues: (..., 3) -> (..., 3, 3).
+
+    Differentiable at w = 0: uses unnormalized skew(w) with
+    sin(t)/t and (1-cos t)/t^2 coefficients, Taylor-switched via the
+    double-where trick so autodiff sees no 0/0 (BA linearizes exactly at
+    w = 0 every iteration).
+    """
+    t2 = jnp.sum(w * w, axis=-1)
+    small = t2 < 1e-8
+    safe_t2 = jnp.where(small, 1.0, t2)
+    safe_t = jnp.sqrt(safe_t2)
+    A = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(safe_t) / safe_t)
+    B = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(safe_t)) / safe_t2)
+
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    z = jnp.zeros_like(wx)
+    K = jnp.stack(
+        [
+            jnp.stack([z, -wz, wy], -1),
+            jnp.stack([wz, z, -wx], -1),
+            jnp.stack([-wy, wx, z], -1),
+        ],
+        -2,
+    )
+    eye = jnp.eye(3, dtype=w.dtype)
+    return eye + A[..., None, None] * K + B[..., None, None] * (K @ K)
+
+
+def _residual_one(w, dt, dX, R0, t0, X0, uv, focal):
+    """Reprojection residual (in px) for one observation, as a function of
+    the camera increment (w, dt) and point increment dX."""
+    R = so3_exp(w) @ R0
+    t = t0 + dt
+    X = X0 + dX
+    c = R @ X + t
+    z = jnp.where(jnp.abs(c[2]) < 1e-9, 1e-9, c[2])
+    proj = c[:2] / z
+    return (proj - uv) * focal
+
+
+def _obs_jacobians(R, t, points, obs_cam, obs_pt, obs_uv, obs_focal):
+    """Residuals + Jacobians for all observations.
+
+    Returns r (O, 2), Jc (O, 2, 6) [w, dt], Jp (O, 2, 3), plus robust
+    weights.
+    """
+
+    def per_obs(ci, pi, uv, f):
+        z6 = jnp.zeros(6)
+
+        def res_params(params):
+            w, dt, dX = params[:3], params[3:6], params[6:9]
+            return _residual_one(w, dt, dX, R[ci], t[ci], points[pi], uv, f)
+
+        params0 = jnp.zeros(9)
+        r = res_params(params0)
+        J = jax.jacfwd(res_params)(params0)  # (2, 9)
+        return r, J[:, :6], J[:, 6:9]
+
+    r, Jc, Jp = jax.vmap(per_obs)(obs_cam, obs_pt, obs_uv, obs_focal)
+    # Huber weights on the residual norm (px).
+    norm = jnp.linalg.norm(r, axis=-1)
+    w = jnp.where(norm <= HUBER_DELTA_PX, 1.0, HUBER_DELTA_PX / jnp.maximum(norm, 1e-12))
+    return r, Jc, Jp, w
+
+
+def _cost(R, t, points, obs_cam, obs_pt, obs_uv, obs_focal):
+    def per_obs(ci, pi, uv, f):
+        return _residual_one(
+            jnp.zeros(3), jnp.zeros(3), jnp.zeros(3), R[ci], t[ci], points[pi], uv, f
+        )
+
+    r = jax.vmap(per_obs)(obs_cam, obs_pt, obs_uv, obs_focal)
+    s = jnp.sum(r * r, axis=-1)
+    n = jnp.sqrt(jnp.maximum(s, 1e-20))
+    huber = jnp.where(
+        n <= HUBER_DELTA_PX, 0.5 * s, HUBER_DELTA_PX * (n - 0.5 * HUBER_DELTA_PX)
+    )
+    return jnp.sum(huber)
+
+
+@functools.partial(jax.jit, static_argnames=("n_cameras", "max_obs_per_point", "iterations"))
+def ba_iterate(
+    R,
+    t,
+    points,
+    obs_cam,
+    obs_pt,
+    obs_uv,
+    obs_focal,
+    fixed_cameras,
+    pt_obs_idx,      # (P, V) indices into obs arrays, padded with -1
+    pt_obs_valid,    # (P, V)
+    n_cameras: int,
+    max_obs_per_point: int,
+    iterations: int = 20,
+):
+    """LM loop.  Returns (R, t, points, final_cost)."""
+
+    if fixed_cameras.ndim == 1:
+        free = jnp.broadcast_to((~fixed_cameras)[:, None], fixed_cameras.shape + (6,))
+    else:
+        free = ~fixed_cameras
+    free = free.astype(jnp.float32)  # (C, 6)
+
+    def build_and_solve(Rc, tc, Xc, lam):
+        r, Jc, Jp, w = _obs_jacobians(Rc, tc, Xc, obs_cam, obs_pt, obs_uv, obs_focal)
+        # Mask Jacobians of fixed cameras.
+        Jc = Jc * free[obs_cam][:, None, :]
+        sw = jnp.sqrt(w)[:, None, None]
+        Jc = Jc * sw
+        Jp = Jp * sw
+        rw = r * jnp.sqrt(w)[:, None]
+
+        # Camera block B (block-diagonal 6x6 per camera) and gradient.
+        JcT_Jc = jnp.einsum("oia,oib->oab", Jc, Jc)     # (O, 6, 6)
+        JcT_r = jnp.einsum("oia,oi->oa", Jc, rw)        # (O, 6)
+        B = jax.ops.segment_sum(JcT_Jc, obs_cam, n_cameras)
+        g_c = jax.ops.segment_sum(JcT_r, obs_cam, n_cameras)
+
+        # Point blocks C (3x3) and gradient, per point via padded groups.
+        o_idx = jnp.maximum(pt_obs_idx, 0)
+        Jp_g = Jp[o_idx] * pt_obs_valid[..., None, None]    # (P, V, 2, 3)
+        Jc_g = Jc[o_idx] * pt_obs_valid[..., None, None]    # (P, V, 2, 6)
+        r_g = rw[o_idx] * pt_obs_valid[..., None]           # (P, V, 2)
+        cam_g = obs_cam[o_idx]                              # (P, V)
+
+        Cp = jnp.einsum("pvia,pvib->pab", Jp_g, Jp_g)       # (P, 3, 3)
+        g_p = jnp.einsum("pvia,pvi->pa", Jp_g, r_g)         # (P, 3)
+        # Damp both blocks (Marquardt scaling).
+        B = B + lam * jnp.eye(6)[None] * jnp.maximum(
+            jnp.diagonal(B, axis1=1, axis2=2), 1e-6
+        )[:, :, None] * jnp.eye(6)[None]
+        Cp = Cp + lam * jnp.eye(3)[None] * jnp.maximum(
+            jnp.diagonal(Cp, axis1=1, axis2=2), 1e-6
+        )[:, :, None] * jnp.eye(3)[None]
+        Cp_inv = jnp.linalg.inv(Cp + 1e-9 * jnp.eye(3)[None])
+
+        # E blocks per (point, view): (6, 3).
+        E = jnp.einsum("pvia,pvib->pvab", Jc_g, Jp_g)       # (P, V, 6, 3)
+
+        # Schur: S = blockdiag(B) - sum_p E_a C^-1 E_b^T over view pairs.
+        ECi = jnp.einsum("pvab,pbc->pvac", E, Cp_inv)       # (P, V, 6, 3)
+        S_contrib = jnp.einsum("pvac,pwbc->pvwab", ECi, E)  # (P, V, V, 6, 6)
+        rhs_contrib = jnp.einsum("pvac,pc->pva", ECi, g_p)  # (P, V, 6)
+
+        S = jnp.zeros((n_cameras, n_cameras, 6, 6))
+        pair_valid = (pt_obs_valid[:, :, None] & pt_obs_valid[:, None, :])[..., None, None]
+        ca = jnp.broadcast_to(cam_g[:, :, None], cam_g.shape + (cam_g.shape[1],))
+        cb = jnp.broadcast_to(cam_g[:, None, :], ca.shape)
+        S = S.at[ca.reshape(-1), cb.reshape(-1)].add(
+            (-S_contrib * pair_valid).reshape(-1, 6, 6)
+        )
+        S = S.at[jnp.arange(n_cameras), jnp.arange(n_cameras)].add(B)
+
+        rhs = g_c - jax.ops.segment_sum(
+            (rhs_contrib * pt_obs_valid[..., None]).reshape(-1, 6),
+            cam_g.reshape(-1),
+            n_cameras,
+        )
+
+        # Dense solve of the reduced camera system.
+        Sd = jnp.transpose(S, (0, 2, 1, 3)).reshape(6 * n_cameras, 6 * n_cameras)
+        # Freeze fixed cameras: unit diagonal rows/cols, zero rhs.
+        fmask = free.reshape(-1)
+        Sd = Sd * fmask[:, None] * fmask[None, :] + jnp.diag(1.0 - fmask)
+        rhs_flat = (-rhs.reshape(-1)) * fmask
+        L, low = jax.scipy.linalg.cho_factor(Sd, lower=True)
+        dc = jax.scipy.linalg.cho_solve((L, low), rhs_flat).reshape(n_cameras, 6)
+
+        # Back-substitute points: dX = C^-1 (-g_p - E^T dc).
+        ET_dc = jnp.einsum("pvab,pva->pb", E, dc[cam_g] * pt_obs_valid[..., None])
+        dX = jnp.einsum("pab,pb->pa", Cp_inv, -g_p - ET_dc)
+        return dc, dX
+
+    def body(state):
+        Rc, tc, Xc, lam, cost, done, it = state
+        dc, dX = build_and_solve(Rc, tc, Xc, lam)
+        dc = dc * free
+        w = dc[:, :3]
+        dt = dc[:, 3:]
+        R_new = so3_exp(w) @ Rc
+        t_new = tc + dt
+        X_new = Xc + dX
+        new_cost = _cost(R_new, t_new, X_new, obs_cam, obs_pt, obs_uv, obs_focal)
+        finite = jnp.isfinite(new_cost)
+        accept = finite & (new_cost < cost)
+        Rc = jnp.where(accept, R_new, Rc)
+        tc = jnp.where(accept, t_new, tc)
+        Xc = jnp.where(accept, X_new, Xc)
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-10), jnp.minimum(lam * 5.0, 1e8))
+        rel = jnp.abs(cost - new_cost) / jnp.maximum(cost, 1e-20)
+        done = done | (accept & (rel < 1e-6)) | (~finite & (lam >= 1e8))
+        cost = jnp.where(accept, new_cost, cost)
+        return Rc, tc, Xc, lam, cost, done, it + 1
+
+    def cond(state):
+        return (~state[5]) & (state[6] < iterations)
+
+    cost0 = _cost(R, t, points, obs_cam, obs_pt, obs_uv, obs_focal)
+    init = (R, t, points, jnp.asarray(1e-3), cost0, jnp.asarray(False), jnp.asarray(0))
+    R, t, points, _, cost, _, _ = jax.lax.while_loop(cond, body, init)
+    return R, t, points, cost
+
+
+def _group_by_point(obs_pt: np.ndarray, n_points: int, cap: int = 32):
+    """(P, V) padded observation-index groups per point."""
+    order = np.argsort(obs_pt, kind="stable")
+    counts = np.bincount(obs_pt, minlength=n_points)
+    v = int(min(max(counts.max(), 2), cap))
+    idx = np.full((n_points, v), -1, np.int64)
+    valid = np.zeros((n_points, v), bool)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    for p in range(n_points):
+        take = min(counts[p], v)
+        idx[p, :take] = order[starts[p] : starts[p] + take]
+        valid[p, :take] = True
+    return idx, valid
+
+
+def run_ba(problem: BAProblem, iterations: int = 30) -> Tuple[np.ndarray, np.ndarray, np.ndarray, float]:
+    """Solve; returns (R, t, points, final_cost)."""
+    n_cameras = problem.R.shape[0]
+    n_points = problem.points.shape[0]
+    pt_idx, pt_valid = _group_by_point(problem.obs_pt, n_points)
+    R, t, X, cost = ba_iterate(
+        jnp.asarray(problem.R),
+        jnp.asarray(problem.t),
+        jnp.asarray(problem.points),
+        jnp.asarray(problem.obs_cam),
+        jnp.asarray(problem.obs_pt),
+        jnp.asarray(problem.obs_uv),
+        jnp.asarray(problem.obs_focal),
+        jnp.asarray(problem.fixed_cameras),
+        jnp.asarray(pt_idx),
+        jnp.asarray(pt_valid),
+        n_cameras=n_cameras,
+        max_obs_per_point=pt_idx.shape[1],
+        iterations=iterations,
+    )
+    return np.asarray(R), np.asarray(t), np.asarray(X), float(cost)

@@ -1,0 +1,98 @@
+"""Bundle adjustment tests on synthetic scenes."""
+
+import numpy as np
+import pytest
+
+from lfr_tpu.sfm import ba
+from lfr_tpu.utils import synthetic
+
+
+def _problem_from_scene(scene, rng, cam_noise=0.01, pt_noise=0.02, fix=(0,)):
+    obs_cam, obs_pt, obs_uv, obs_focal = [], [], [], []
+    f = scene.K[0, 0]
+    for c in range(scene.num_cameras):
+        vis = np.nonzero(scene.visible[c])[0]
+        uv_px = scene.observations[c][vis]
+        # Normalized coordinates.
+        uv_n = (uv_px - scene.K[:2, 2]) / f
+        obs_cam.append(np.full(len(vis), c))
+        obs_pt.append(vis)
+        obs_uv.append(uv_n)
+        obs_focal.append(np.full(len(vis), f))
+
+    R = scene.rotations.copy()
+    t = scene.translations.copy()
+    X = scene.points.copy()
+    for c in range(scene.num_cameras):
+        if c not in fix:
+            R[c] = np.asarray(ba.so3_exp(rng.normal(0, cam_noise, 3))) @ R[c]
+            t[c] = t[c] + rng.normal(0, cam_noise, 3)
+    X = X + rng.normal(0, pt_noise, X.shape)
+
+    fixed = np.zeros(scene.num_cameras, bool)
+    for c in fix:
+        fixed[c] = True
+
+    obs_pt_arr = np.concatenate(obs_pt)
+    order = np.argsort(obs_pt_arr, kind="stable")
+    return ba.BAProblem(
+        R,
+        t,
+        X,
+        np.concatenate(obs_cam)[order],
+        obs_pt_arr[order],
+        np.concatenate(obs_uv)[order],
+        np.concatenate(obs_focal)[order],
+        fixed,
+    )
+
+
+def test_ba_reduces_cost_and_recovers_geometry():
+    rng = np.random.default_rng(0)
+    scene = synthetic.random_scene(rng, num_points=80, num_cameras=4)
+    prob = _problem_from_scene(scene, rng, fix=(0, 1))
+
+    R0, t0 = prob.R.copy(), prob.t.copy()
+    R, t, X, cost = ba.run_ba(prob, iterations=40)
+
+    # Final mean reprojection error must be tiny (perfect synthetic data).
+    n_obs = prob.obs_cam.shape[0]
+    rms = np.sqrt(2 * cost / n_obs)
+    assert rms < 0.05, f"rms reprojection {rms} px"
+
+    # Fixed cameras untouched.
+    np.testing.assert_allclose(R[0], prob.R[0], atol=1e-12)
+    np.testing.assert_allclose(t[1], prob.t[1], atol=1e-12)
+
+    # Free cameras moved back toward ground truth.
+    for c in (2, 3):
+        before = np.abs(R0[c] - scene.rotations[c]).max()
+        after = np.abs(R[c] - scene.rotations[c]).max()
+        assert after < before * 0.2
+
+
+def test_ba_with_noisy_observations():
+    rng = np.random.default_rng(1)
+    scene = synthetic.random_scene(rng, num_points=60, num_cameras=3, noise_px=0.5)
+    prob = _problem_from_scene(scene, rng, cam_noise=0.005, pt_noise=0.01, fix=(0, 1))
+    _, _, _, cost = ba.run_ba(prob, iterations=30)
+    n_obs = prob.obs_cam.shape[0]
+    rms = np.sqrt(2 * cost / n_obs)
+    assert rms < 1.5  # should settle near the 0.5px noise floor
+
+
+def test_so3_exp_properties():
+    rng = np.random.default_rng(2)
+    w = rng.standard_normal(3) * 0.3
+    import jax.numpy as jnp
+
+    R = np.asarray(ba.so3_exp(jnp.asarray(w)))
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-6)
+    # Small-angle: exp(w) ~ I + [w]x
+    w_small = np.array([1e-4, -2e-4, 5e-5])
+    R_small = np.asarray(ba.so3_exp(jnp.asarray(w_small)))
+    K = np.array(
+        [[0, -w_small[2], w_small[1]], [w_small[2], 0, -w_small[0]], [-w_small[1], w_small[0], 0]]
+    )
+    np.testing.assert_allclose(R_small, np.eye(3) + K, atol=1e-7)

@@ -1,0 +1,75 @@
+"""Incremental SfM tests: PnP and the full mapper on synthetic scenes."""
+
+import numpy as np
+import pytest
+
+from lfr_tpu.sfm import pnp
+from lfr_tpu.utils import synthetic
+
+
+def test_pnp_recovers_pose():
+    rng = np.random.default_rng(0)
+    scene = synthetic.random_scene(rng, num_points=100, num_cameras=2)
+    c = 1
+    vis = np.nonzero(scene.visible[c])[0]
+    f = scene.K[0, 0]
+    uv_n = (scene.observations[c][vis] - scene.K[:2, 2]) / f
+    result = pnp.estimate_pose(scene.points[vis], uv_n, f, seed=0)
+    assert result is not None
+    R, t, inliers = result
+    np.testing.assert_allclose(R, scene.rotations[c], atol=1e-4)
+    np.testing.assert_allclose(t, scene.translations[c], atol=1e-4)
+    assert inliers.mean() > 0.99
+
+
+def test_pnp_with_outliers():
+    rng = np.random.default_rng(1)
+    scene = synthetic.random_scene(rng, num_points=120, num_cameras=2)
+    c = 1
+    vis = np.nonzero(scene.visible[c])[0]
+    f = scene.K[0, 0]
+    uv_n = (scene.observations[c][vis] - scene.K[:2, 2]) / f
+    X = scene.points[vis].copy()
+    n_bad = len(vis) // 4
+    bad = rng.choice(len(vis), n_bad, replace=False)
+    X[bad] += rng.normal(0, 1.0, (n_bad, 3))
+    result = pnp.estimate_pose(X, uv_n, f, seed=0)
+    assert result is not None
+    R, t, inliers = result
+    np.testing.assert_allclose(R, scene.rotations[c], atol=1e-3)
+    assert not inliers[bad].any() or inliers[bad].mean() < 0.1
+
+
+def test_mapper_reconstructs_synthetic_scene(tmp_path):
+    from test_sfm import _scene_to_db_and_model
+
+    rng = np.random.default_rng(2)
+    scene = synthetic.random_scene(rng, num_points=150, num_cameras=5, noise_px=0.3)
+    db, _ = _scene_to_db_and_model(scene, tmp_path, noise=0.3, seed=5)
+
+    from lfr_tpu.sfm import mapper
+
+    model, stats = mapper.reconstruct(db, verbose=False)
+    assert model is not None
+    assert stats["num_reg_images"] == scene.num_cameras
+    assert stats["num_sparse_points"] > 100
+    assert stats["mean_reproj_error"] < 1.0
+    assert stats["mean_track_length"] > 3.0
+
+    # Up-to-similarity check: camera-center distance ratios must match GT.
+    centers = {}
+    gt_centers = {}
+    for im in model.images.values():
+        R = np.asarray(__import__("lfr_tpu.io.colmap_model", fromlist=["qvec_to_rotmat"]).qvec_to_rotmat(im.qvec))
+        centers[im.name] = -R.T @ im.tvec
+    for c in range(scene.num_cameras):
+        gt_centers[f"im{c}.jpg"] = -scene.rotations[c].T @ scene.translations[c]
+    names = sorted(centers)
+    d = lambda A, a, b: np.linalg.norm(A[a] - A[b])  # noqa: E731
+    # The narrow-arc geometry (2-8 deg triangulation angles, 0.3px noise)
+    # carries a few-percent intrinsic shape uncertainty along depth.
+    base = d(centers, names[0], names[1]) / d(gt_centers, names[0], names[1])
+    for a in range(len(names)):
+        for b in range(a + 1, len(names)):
+            ratio = d(centers, names[a], names[b]) / max(d(gt_centers, names[a], names[b]), 1e-12)
+            np.testing.assert_allclose(ratio, base, rtol=0.08)

@@ -53,6 +53,30 @@ def test_eth_benchmark_skip_refinement(dataset, tmp_path):
         assert "raw" in json.load(fh)
 
 
+def test_sfm_benchmark_skip_refinement(tmp_path):
+    # Fresh dataset: the module fixture's root already holds the eth run's
+    # databases, which the pipeline rightly refuses to overwrite.
+    root = str(tmp_path / "sfm_scene")
+    rng = np.random.default_rng(7)
+    scene = synthetic.random_scene(rng, num_points=120, num_cameras=4, noise_px=0.2)
+    synthetic.make_eth3d_dataset(root, scene, rng, keypoint_noise_px=0.2)
+    out = str(tmp_path / "out_sfm")
+    results = benchmark.run_sfm(
+        root, "sift", output_path=out, skip_refinement=True, verbose=False
+    )
+    rec = results["raw"]["reconstruction"]
+    assert rec["num_reg_images"] == scene.num_cameras
+    assert rec["num_sparse_points"] > 80
+    assert rec["mean_reproj_error"] < 0.5
+    # JSON stats in the reference's two-line format.
+    name = os.path.basename(root)
+    with open(os.path.join(out, f"sift-{name}-raw.json")) as fh:
+        lines = fh.read().strip().split("\n")
+    assert len(lines) == 2
+    assert "num_inlier_pairs" in lines[0] and "num_reg_images" in lines[1]
+    assert os.path.exists(os.path.join(root, "sparse-sift-raw", "points3D.txt"))
+
+
 def test_database_overwrite_refused(dataset, tmp_path):
     root, _ = dataset
     from lfr_tpu.pipelines.triangulation import triangulation_pipeline
