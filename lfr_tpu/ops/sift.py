@@ -1,0 +1,405 @@
+"""TPU-native SIFT feature extraction.
+
+The reference shells out to COLMAP's GPU SIFT and reads the database back
+(reference: utils/extract_features_sift.py:63-124).  Here the whole
+detector runs as fixed-shape JAX programs: separable Gaussian pyramid, DoG
+extremum maps computed densely (no data-dependent control flow), quadratic
+subpixel refinement evaluated at every pixel, top-K selection per octave,
+and orientation/descriptor computation as batched gathers + one-hot
+matmuls on the MXU.
+
+Output follows the framework's npz contract: keypoints (K, 4) = (x, y,
+scale, orientation) in original-image coordinates, scores, and
+L2-normalized 128-D descriptors.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .patches import sample_bilinear
+
+#: SIFT constants (COLMAP/Lowe conventions).
+NUM_SCALES = 3              # scales per octave
+SIGMA0 = 1.6                # base blur of octave 0, level 0
+INIT_SIGMA = 0.5            # assumed blur of the input image
+PEAK_THRESHOLD = 0.02 / 3.0  # COLMAP SiftExtraction.peak_threshold default
+EDGE_THRESHOLD = 10.0
+ORI_BINS = 36
+DESC_BINS = 8
+DESC_WIDTH = 4              # 4x4 spatial histograms
+DESC_SAMPLES = 16           # 16x16 gradient samples
+
+
+def _gaussian_kernel(sigma: float) -> np.ndarray:
+    radius = max(1, int(math.ceil(4.0 * sigma)))
+    x = np.arange(-radius, radius + 1)
+    k = np.exp(-(x**2) / (2.0 * sigma**2))
+    return (k / k.sum()).astype(np.float32)
+
+
+def _blur(image: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
+    """Separable Gaussian blur of (H, W) with reflect padding."""
+    k = jnp.asarray(kernel)
+    r = (kernel.shape[0] - 1) // 2
+    padded = jnp.pad(image, ((r, r), (0, 0)), mode="reflect")
+    img = jax.vmap(lambda col: jnp.convolve(col, k, mode="valid"), in_axes=1, out_axes=1)(padded)
+    padded = jnp.pad(img, ((0, 0), (r, r)), mode="reflect")
+    img = jax.vmap(lambda row: jnp.convolve(row, k, mode="valid"))(padded)
+    return img
+
+
+def _downsample2(image: jnp.ndarray) -> jnp.ndarray:
+    return image[::2, ::2]
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "peak_threshold"))
+def _octave_candidates(gaussians, dogs, top_k: int, peak_threshold: float = PEAK_THRESHOLD):
+    """Dense extremum detection + subpixel refinement on one octave.
+
+    gaussians: (S+3, H, W); dogs: (S+2, H, W) response stack (DoG for SIFT,
+    det-of-Hessian for the DoH detector — any 3D-extremum response works).
+    Returns (scores (K,), pos (K, 3) = (level, i, j) refined, valid (K,)).
+    """
+    s, h, w = dogs.shape
+    d = dogs
+
+    # 3x3x3 neighborhood min/max via shifted stacks (interior only).
+    def shifts(x):
+        out = []
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                out.append(jnp.roll(x, (di, dj), axis=(1, 2)))
+        return jnp.stack(out)  # (9, S, H, W)
+
+    neigh = shifts(d)
+    same = jnp.max(jnp.where(jnp.arange(9)[:, None, None, None] == 4, -jnp.inf, neigh), axis=0)
+    same_min = jnp.min(jnp.where(jnp.arange(9)[:, None, None, None] == 4, jnp.inf, neigh), axis=0)
+    up_max = jnp.max(neigh, axis=0)
+    up_min = jnp.min(neigh, axis=0)
+
+    center = d[1 : s - 1]
+    is_max = (
+        (center > same[1 : s - 1])
+        & (center > up_max[: s - 2])
+        & (center > up_max[2:])
+    )
+    is_min = (
+        (center < same_min[1 : s - 1])
+        & (center < up_min[: s - 2])
+        & (center < up_min[2:])
+    )
+    extremum = (is_max | is_min) & (jnp.abs(center) > 0.8 * peak_threshold)
+
+    # Border mask.
+    ii = jnp.arange(h)
+    jj = jnp.arange(w)
+    border = 8
+    inb = ((ii >= border) & (ii < h - border))[:, None] & (
+        (jj >= border) & (jj < w - border)
+    )[None, :]
+    extremum = extremum & inb[None]
+
+    # Derivatives (central differences) at every pixel of the middle levels.
+    def grad_hess(lv):
+        dc = d[lv]
+        dxx = jnp.roll(dc, -1, 1) + jnp.roll(dc, 1, 1) - 2 * dc
+        dyy = jnp.roll(dc, -1, 0) + jnp.roll(dc, 1, 0) - 2 * dc
+        dxy = (
+            jnp.roll(dc, (-1, -1), (0, 1))
+            - jnp.roll(dc, (-1, 1), (0, 1))
+            - jnp.roll(dc, (1, -1), (0, 1))
+            + jnp.roll(dc, (1, 1), (0, 1))
+        ) / 4.0
+        gx = (jnp.roll(dc, -1, 1) - jnp.roll(dc, 1, 1)) / 2.0
+        gy = (jnp.roll(dc, -1, 0) - jnp.roll(dc, 1, 0)) / 2.0
+        ds_ = (d[lv + 1] - d[lv - 1]) / 2.0
+        dss = d[lv + 1] + d[lv - 1] - 2 * dc
+        dxs = (
+            jnp.roll(d[lv + 1], -1, 1)
+            - jnp.roll(d[lv + 1], 1, 1)
+            - jnp.roll(d[lv - 1], -1, 1)
+            + jnp.roll(d[lv - 1], 1, 1)
+        ) / 4.0
+        dys = (
+            jnp.roll(d[lv + 1], -1, 0)
+            - jnp.roll(d[lv + 1], 1, 0)
+            - jnp.roll(d[lv - 1], -1, 0)
+            + jnp.roll(d[lv - 1], 1, 0)
+        ) / 4.0
+        return gx, gy, ds_, dxx, dyy, dss, dxy, dxs, dys
+
+    levels = []
+    for lv in range(1, s - 1):
+        gx, gy, ds_, dxx, dyy, dss, dxy, dxs, dys = grad_hess(lv)
+        # Edge response on the 2x2 spatial Hessian.
+        tr = dxx + dyy
+        det = dxx * dyy - dxy * dxy
+        r = EDGE_THRESHOLD
+        edge_ok = (det > 0) & (tr * tr * r < (r + 1) ** 2 * det)
+
+        # Subpixel offset: solve H3 delta = -g (closed form 3x3).
+        H3 = jnp.stack(
+            [
+                jnp.stack([dxx, dxy, dxs], -1),
+                jnp.stack([dxy, dyy, dys], -1),
+                jnp.stack([dxs, dys, dss], -1),
+            ],
+            -2,
+        )  # (H, W, 3, 3)
+        g3 = jnp.stack([gx, gy, ds_], -1)
+        # Regularize to keep inverses finite on flat regions.
+        H3 = H3 + 1e-8 * jnp.eye(3)
+        delta = -jnp.linalg.solve(H3, g3[..., None])[..., 0]  # (H, W, 3) x,y,s
+        ok_delta = jnp.all(jnp.abs(delta) < 1.5, axis=-1)
+
+        value = d[lv] + 0.5 * (gx * delta[..., 0] + gy * delta[..., 1] + ds_ * delta[..., 2])
+        strong = jnp.abs(value) > peak_threshold
+
+        mask = extremum[lv - 1] & edge_ok & ok_delta & strong
+        score = jnp.where(mask, jnp.abs(value), 0.0)
+        levels.append((score, delta))
+
+    score_map = jnp.stack([sc for sc, _ in levels])           # (S, H, W)
+    delta_map = jnp.stack([dl for _, dl in levels])           # (S, H, W, 3)
+
+    flat = score_map.reshape(-1)
+    scores, idx = jax.lax.top_k(flat, top_k)
+    lv = idx // (h * w)
+    ij = idx % (h * w)
+    i = ij // w
+    j = ij % w
+    delta = delta_map.reshape(-1, 3)[idx]
+    pos = jnp.stack(
+        [
+            lv.astype(jnp.float32) + 1.0 + delta[:, 2],   # refined level (1-based)
+            i.astype(jnp.float32) + delta[:, 1],          # row
+            j.astype(jnp.float32) + delta[:, 0],          # col
+        ],
+        axis=1,
+    )
+    valid = scores > 0
+    return scores, pos, valid
+
+
+def _orientation_histogram(gauss, kp_ij, sigma):
+    """36-bin orientation histogram around each keypoint.
+
+    gauss: (H, W); kp_ij (K, 2); sigma (K,) in this octave's pixels.
+    Returns (K, 36).
+    """
+    n_samples = 16
+    lin = jnp.linspace(-1.0, 1.0, n_samples)
+    gy, gx = jnp.meshgrid(lin, lin, indexing="ij")
+    window = jnp.stack([gy, gx], -1).reshape(-1, 2)  # (256, 2) unit offsets
+    radius = 3.0 * 1.5 * sigma  # Lowe: 1.5 sigma Gaussian, 3x radius
+    coords = kp_ij[:, None, :] + window[None] * radius[:, None, None]
+
+    img = gauss[:, :, None]
+    # Gradients via finite differences of bilinear samples.
+    eps = 0.5
+    ex = jnp.array([0.0, eps])
+    ey = jnp.array([eps, 0.0])
+    gxv = (
+        sample_bilinear(img, coords + ex)[..., 0]
+        - sample_bilinear(img, coords - ex)[..., 0]
+    )
+    # y-up gradient (negated row derivative): matches the classic SIFT
+    # convention, making descriptors directly comparable with OpenCV's.
+    gyv = -(
+        sample_bilinear(img, coords + ey)[..., 0]
+        - sample_bilinear(img, coords - ey)[..., 0]
+    )
+    mag = jnp.sqrt(gxv**2 + gyv**2)
+    ang = jnp.arctan2(gyv, gxv)  # [-pi, pi]
+
+    gauss_w = jnp.exp(-(window[:, 0] ** 2 + window[:, 1] ** 2) / (2 * (2.0 / 3) ** 2))
+    wmag = mag * gauss_w[None]
+
+    bins = (ang / (2 * jnp.pi) * ORI_BINS) % ORI_BINS
+    b0 = jnp.floor(bins).astype(jnp.int32) % ORI_BINS
+    frac = bins - jnp.floor(bins)
+    onehot0 = jax.nn.one_hot(b0, ORI_BINS)
+    onehot1 = jax.nn.one_hot((b0 + 1) % ORI_BINS, ORI_BINS)
+    hist = jnp.einsum("ks,ksb->kb", wmag * (1 - frac), onehot0) + jnp.einsum(
+        "ks,ksb->kb", wmag * frac, onehot1
+    )
+    # Circular smoothing (Lowe applies it a few times).
+    for _ in range(2):
+        hist = (jnp.roll(hist, 1, 1) + hist + jnp.roll(hist, -1, 1)) / 3.0
+    return hist
+
+
+def _descriptors(gauss, kp_ij, sigma, theta):
+    """128-D SIFT descriptors.
+
+    Samples a rotated 16x16 gradient grid spanning +-2 histogram widths
+    (histogram width = 3 sigma), accumulates 4x4x8 bins with bilinear
+    spatial weights as one matmul.
+    """
+    n = DESC_SAMPLES
+    lin = (jnp.arange(n) + 0.5) / n * DESC_WIDTH - DESC_WIDTH / 2  # in hist units
+    u, v = jnp.meshgrid(lin, lin, indexing="ij")
+    grid = jnp.stack([u, v], -1).reshape(-1, 2)  # (256, 2), hist-width units
+
+    hist_width = 3.0 * sigma  # pixels per histogram cell
+    cos_t = jnp.cos(theta)
+    sin_t = jnp.sin(theta)
+    # Rotate (row, col) offsets by theta.
+    rot = jnp.stack(
+        [jnp.stack([cos_t, -sin_t], -1), jnp.stack([sin_t, cos_t], -1)], -2
+    )  # (K, 2, 2)
+    offsets = jnp.einsum("kab,sb->ksa", rot, grid) * hist_width[:, None, None]
+    coords = kp_ij[:, None, :] + offsets
+
+    img = gauss[:, :, None]
+    eps = 0.5
+    ex = jnp.array([0.0, eps])
+    ey = jnp.array([eps, 0.0])
+    gxv = (
+        sample_bilinear(img, coords + ex)[..., 0]
+        - sample_bilinear(img, coords - ex)[..., 0]
+    )
+    gyv = -(
+        sample_bilinear(img, coords + ey)[..., 0]
+        - sample_bilinear(img, coords - ey)[..., 0]
+    )  # y-up, see _orientation_histogram
+    mag = jnp.sqrt(gxv**2 + gyv**2)
+    ang = jnp.arctan2(gyv, gxv) - theta[:, None]
+
+    gauss_w = jnp.exp(-(grid[:, 0] ** 2 + grid[:, 1] ** 2) / (2 * (DESC_WIDTH / 2) ** 2))
+    wmag = mag * gauss_w[None]
+
+    # Spatial bilinear weights into the 4x4 cells: precomputed (256, 16).
+    cell_centers = jnp.arange(DESC_WIDTH) - (DESC_WIDTH - 1) / 2.0
+    du = 1.0 - jnp.abs(grid[:, 0:1] - cell_centers[None])  # (256, 4)
+    dv = 1.0 - jnp.abs(grid[:, 1:2] - cell_centers[None])
+    du = jnp.maximum(du, 0.0)
+    dv = jnp.maximum(dv, 0.0)
+    spatial = (du[:, :, None] * dv[:, None, :]).reshape(-1, DESC_WIDTH * DESC_WIDTH)
+
+    bins = (ang / (2 * jnp.pi) * DESC_BINS) % DESC_BINS
+    b0 = jnp.floor(bins).astype(jnp.int32) % DESC_BINS
+    frac = bins - jnp.floor(bins)
+    ori = jax.nn.one_hot(b0, DESC_BINS) * (1 - frac)[..., None] + jax.nn.one_hot(
+        (b0 + 1) % DESC_BINS, DESC_BINS
+    ) * frac[..., None]  # (K, 256, 8)
+
+    weighted = ori * wmag[..., None]  # (K, 256, 8)
+    desc = jnp.einsum("sc,ksb->kcb", spatial, weighted).reshape(-1, 128)
+
+    # Normalize, clip at 0.2, renormalize (Lowe).
+    desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=1, keepdims=True), 1e-12)
+    desc = jnp.minimum(desc, 0.2)
+    desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=1, keepdims=True), 1e-12)
+    return desc
+
+
+def extract_sift(
+    image: np.ndarray,
+    max_features: int = 4096,
+    max_per_octave: int = 2048,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Extract SIFT features from an (H, W) or (H, W, 3) image.
+
+    Returns (keypoints (K, 4) [x, y, scale, orientation], scores (K,),
+    descriptors (K, 128) L2-normalized float32), in input-image pixels.
+    """
+    if image.ndim == 3:
+        image = image @ np.array([0.299, 0.587, 0.114])
+    img = jnp.asarray(image, jnp.float32) / (255.0 if image.max() > 2 else 1.0)
+
+    h, w = img.shape
+    n_octaves = max(1, int(np.log2(min(h, w) / 16.0)))
+
+    k = 2.0 ** (1.0 / NUM_SCALES)
+    sigmas = [SIGMA0 * (k**i) for i in range(NUM_SCALES + 3)]
+    # Incremental blurs between levels.
+    inc = [math.sqrt(max(sigmas[i] ** 2 - sigmas[i - 1] ** 2, 1e-8)) for i in range(1, len(sigmas))]
+    base_blur = math.sqrt(max(SIGMA0**2 - INIT_SIGMA**2, 0.01))
+
+    all_kp, all_scores, all_desc = [], [], []
+
+    octave_img = _blur(img, _gaussian_kernel(base_blur))
+    for octave in range(n_octaves):
+        gaussians = [octave_img]
+        for s_inc in inc:
+            gaussians.append(_blur(gaussians[-1], _gaussian_kernel(s_inc)))
+        G = jnp.stack(gaussians)                     # (S+3, H, W)
+        D = G[1:] - G[:-1]                           # (S+2, H, W)
+
+        scores, pos, valid = _octave_candidates(G, D, top_k=max_per_octave)
+        scores = np.asarray(scores)
+        pos = np.asarray(pos)
+        valid_np = np.asarray(valid)
+        take = np.nonzero(valid_np)[0]
+        if take.size:
+            lv = pos[take, 0]
+            ij = pos[take, 1:3]
+            sigma = SIGMA0 * (2.0 ** ((lv - 1.0) / NUM_SCALES))  # octave pixels
+
+            # Orientation from the nearest gaussian level.
+            lv_round = np.clip(np.round(lv - 1).astype(int) + 1, 1, NUM_SCALES)
+            hists = []
+            for level in range(1, NUM_SCALES + 1):
+                sel = lv_round == level
+                if not sel.any():
+                    continue
+                hist = _orientation_histogram(
+                    G[level], jnp.asarray(ij[sel]), jnp.asarray(sigma[sel])
+                )
+                hists.append((sel, np.asarray(hist)))
+            hist_all = np.zeros((take.size, ORI_BINS), np.float32)
+            for sel, hval in hists:
+                hist_all[sel] = hval
+
+            peak = hist_all.argmax(axis=1)
+            # Parabolic peak interpolation.
+            left = hist_all[np.arange(take.size), (peak - 1) % ORI_BINS]
+            right = hist_all[np.arange(take.size), (peak + 1) % ORI_BINS]
+            center = hist_all[np.arange(take.size), peak]
+            denom = left - 2 * center + right
+            offset = np.where(np.abs(denom) > 1e-12, 0.5 * (left - right) / denom, 0.0)
+            theta = (peak + offset + 0.5) / ORI_BINS * 2 * np.pi
+
+            # Descriptors per level group.
+            desc_all = np.zeros((take.size, 128), np.float32)
+            for level in range(1, NUM_SCALES + 1):
+                sel = lv_round == level
+                if not sel.any():
+                    continue
+                dvals = _descriptors(
+                    G[level],
+                    jnp.asarray(ij[sel]),
+                    jnp.asarray(sigma[sel]),
+                    jnp.asarray(theta[sel]),
+                )
+                desc_all[sel] = np.asarray(dvals)
+
+            scale_mult = 2.0**octave
+            xy = ij[:, ::-1] * scale_mult  # (col, row) -> (x, y)
+            kp = np.stack(
+                [xy[:, 0], xy[:, 1], sigma * scale_mult, theta], axis=1
+            )
+            all_kp.append(kp)
+            all_scores.append(scores[take])
+            all_desc.append(desc_all)
+
+        octave_img = _downsample2(gaussians[NUM_SCALES])
+
+    if not all_kp:
+        return np.zeros((0, 4)), np.zeros(0), np.zeros((0, 128), np.float32)
+
+    kp = np.concatenate(all_kp)
+    scores = np.concatenate(all_scores)
+    desc = np.concatenate(all_desc)
+    if kp.shape[0] > max_features:
+        order = np.argsort(-scores)[:max_features]
+        kp, scores, desc = kp[order], scores[order], desc[order]
+    return kp, scores, desc.astype(np.float32)

@@ -1,0 +1,114 @@
+"""Feature extraction CLI: images directory -> per-image npz feature files.
+
+The in-framework counterpart of the reference's extraction scripts
+(reference: utils/extract_features_sift.py:34-141,
+utils/extract_features_surf.py:14-85): images are capped at ``max_edge``,
+features extracted on device, and keypoints rescaled to original-image
+coordinates before writing the npz contract files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Callable, Dict, Tuple
+
+import numpy as np
+
+from ..io import features as features_io
+from ..io import images as images_io
+
+EXTRACTORS: Dict[str, Callable] = {}
+
+
+def register_extractor(name: str):
+    def wrap(fn):
+        EXTRACTORS[name] = fn
+        return fn
+
+    return wrap
+
+
+@register_extractor("sift")
+def _sift(image: np.ndarray, max_features: int):
+    from ..ops.sift import extract_sift
+
+    return extract_sift(image, max_features=max_features)
+
+
+@register_extractor("surf")
+def _surf(image: np.ndarray, max_features: int):
+    from ..ops.doh import extract_doh
+
+    return extract_doh(image, max_features=max_features)
+
+
+def extract_directory(
+    image_path: str,
+    method_name: str,
+    max_edge: int = 1600,
+    max_features: int = 4096,
+    output_extension: str = None,
+    verbose: bool = True,
+) -> int:
+    """Extract features for all images; returns the image count."""
+    extractor = EXTRACTORS.get(method_name)
+    if extractor is None:
+        raise ValueError(
+            f"no extractor registered for {method_name!r}; available: {sorted(EXTRACTORS)}"
+        )
+    ext = (output_extension or f".{method_name}").lstrip(".")
+
+    count = 0
+    for name in sorted(os.listdir(image_path)):
+        path = os.path.join(image_path, name)
+        try:
+            image = images_io.load_image_rgb(path)
+        except Exception:
+            continue
+        h, w = image.shape[:2]
+        factor = max(1.0, max(h, w) / max_edge)
+        small = images_io.resize_by_factor(image, factor)
+
+        keypoints, scores, descriptors = extractor(small, max_features)
+        # Back to original-image coordinates
+        # (reference: extract_features_surf.py:66-69).
+        keypoints = keypoints.copy()
+        keypoints[:, :2] *= factor
+        if keypoints.shape[1] > 2:
+            keypoints[:, 2] *= factor
+
+        features_io.save_features(path, keypoints, descriptors, scores, method_name=ext)
+        count += 1
+        if verbose:
+            print(
+                f"[{name}] {h}x{w}, factor {factor:.4f}; {keypoints.shape[0]} keypoints",
+                file=sys.stderr,
+                flush=True,
+            )
+    return count
+
+
+def main(argv=None) -> None:
+    from ..utils.platform import select_platform
+
+    select_platform()
+    parser = argparse.ArgumentParser(description="TPU-native feature extraction")
+    parser.add_argument("--image_path", required=True)
+    parser.add_argument("--method_name", required=True, choices=sorted(EXTRACTORS))
+    parser.add_argument("--max_edge", type=int, default=1600)
+    parser.add_argument("--max_features", type=int, default=4096)
+    parser.add_argument("--output_extension", default=None)
+    args = parser.parse_args(argv)
+    extract_directory(
+        args.image_path,
+        args.method_name,
+        args.max_edge,
+        args.max_features,
+        args.output_extension,
+    )
+
+
+if __name__ == "__main__":
+    main()
