@@ -179,3 +179,36 @@ def train(
             print(f"[train] step {step} loss {float(loss):.5f}", flush=True)
 
     return {"params": state.params, "batch_stats": state.batch_stats}
+
+
+def main(argv=None) -> None:
+    """Training CLI: writes a framework checkpoint."""
+    import argparse
+
+    from ..utils.platform import select_platform
+
+    select_platform()
+    parser = argparse.ArgumentParser(description="train the patch-alignment flow CNN")
+    parser.add_argument("--num_steps", type=int, default=2000)
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--learning_rate", type=float, default=1e-3)
+    parser.add_argument("--image_dir", default=None, help="real images (default: synthetic textures)")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--output", required=True, help="checkpoint path (.msgpack)")
+    args = parser.parse_args(argv)
+
+    variables = train(
+        num_steps=args.num_steps,
+        batch_size=args.batch_size,
+        learning_rate=args.learning_rate,
+        image_dir=args.image_dir,
+        seed=args.seed,
+    )
+    from .checkpoint import save_variables
+
+    save_variables(args.output, variables)
+    print(f"saved {args.output}")
+
+
+if __name__ == "__main__":
+    main()

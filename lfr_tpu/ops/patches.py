@@ -83,6 +83,81 @@ def patch_offsets(patch_size: int = PATCH_SIZE, dtype=jnp.float32) -> jnp.ndarra
     return jnp.stack(jnp.meshgrid(r, r, indexing="ij"), axis=-1)
 
 
+def extract_patches_separable(
+    image_padded: jnp.ndarray,
+    ij: jnp.ndarray,
+    patch_size: int = PATCH_SIZE,
+    window: int = None,
+) -> jnp.ndarray:
+    """MXU-friendly patch extraction: per-patch crop + two banded matmuls.
+
+    Bilinear sampling on the reference's patch grid is separable: with the
+    grid spacing ps/(ps-1), a patch is R @ crop @ C^T where ``crop`` is an
+    integer-aligned window around the keypoint and R/C are (ps, window)
+    interpolation matrices depending only on the center's fractional part.
+    This replaces ~4*ps^2 element gathers per patch with one contiguous
+    window slice and two small batched matmuls.
+
+    ``image_padded`` must already include a reflection margin large enough
+    that every window is in bounds (see TwoViewRefiner); ``ij`` are centers
+    in the padded image's coordinates.  Returns (N, ps, ps, C) float32.
+    """
+    if window is None:
+        # Row span is ps * ps/(ps-1) ~ ps+1.03; +1 sub-integer base offset
+        # +1 bilinear upper tap => ps+4 guarantees in-window taps.
+        window = patch_size + 4
+    offs = jnp.linspace(-patch_size / 2.0, patch_size / 2.0, patch_size)
+
+    def weights(center, axis_size):
+        # Absolute sample coords along one axis and their integer window.
+        pos = center + offs                       # (ps,)
+        base = jnp.floor(pos[0]).astype(jnp.int32)
+        # Keep the window in bounds; clamped extremes degrade to edge
+        # replication (only reachable when a query overruns the margin).
+        base = jnp.clip(base, 0, axis_size - window)
+        rel = pos - base.astype(pos.dtype)
+        k0 = jnp.floor(rel).astype(jnp.int32)
+        frac = rel - k0.astype(rel.dtype)
+        w = jnp.zeros((patch_size, window), jnp.float32)
+        rows = jnp.arange(patch_size)
+        w = w.at[rows, jnp.clip(k0, 0, window - 1)].add(1.0 - frac)
+        w = w.at[rows, jnp.clip(k0 + 1, 0, window - 1)].add(frac)
+        return base, w
+
+    def one_patch(center):
+        bi, wi = weights(center[0], image_padded.shape[0])
+        bj, wj = weights(center[1], image_padded.shape[1])
+        crop = jax.lax.dynamic_slice(
+            image_padded,
+            (bi, bj, 0),
+            (window, window, image_padded.shape[2]),
+        ).astype(jnp.float32)
+        tmp = jnp.einsum("rw,wvc->rvc", wi, crop)
+        return jnp.einsum("qv,rvc->rqc", wj, tmp)
+
+    return jax.vmap(one_patch)(ij.astype(jnp.float32))
+
+
+#: Reflection margin added around images for the separable fast path; must
+#: exceed the largest patch half-extent used anywhere (fine pass: 16.5*2 +
+#: 16 grid + 1 ~ 50 px on the 2x image).
+REFLECT_MARGIN = 96
+
+
+def reflect_pad_image(image, margin: int = REFLECT_MARGIN):
+    """Host-side reflect-101 padding (matches align-corners reflection for
+    queries within the margin).  The margin is capped below the image size
+    (numpy reflect constraint); callers should use ``effective_margin``."""
+    import numpy as np
+
+    margin = int(min(margin, image.shape[0] - 1, image.shape[1] - 1))
+    return np.pad(image, ((margin, margin), (margin, margin), (0, 0)), mode="reflect")
+
+
+def effective_margin(image, margin: int = REFLECT_MARGIN) -> int:
+    return int(min(margin, image.shape[0] - 1, image.shape[1] - 1))
+
+
 @functools.partial(jax.jit, static_argnames=("patch_size",))
 def extract_patches(
     image: jnp.ndarray, ij: jnp.ndarray, patch_size: int = PATCH_SIZE, size=None

@@ -47,9 +47,9 @@ def run_eth(
 
         variables = None
         if checkpoint:
-            from ..models.torch_import import load_checkpoint
+            from ..models.checkpoint import load_any
 
-            variables = load_checkpoint(checkpoint)
+            variables = load_any(checkpoint)
         refiner = TwoViewRefiner(variables=variables)
 
     mg_mod.compute_match_graph(
@@ -116,9 +116,9 @@ def run_sfm(
 
         variables = None
         if checkpoint:
-            from ..models.torch_import import load_checkpoint
+            from ..models.checkpoint import load_any
 
-            variables = load_checkpoint(checkpoint)
+            variables = load_any(checkpoint)
         refiner = TwoViewRefiner(variables=variables)
 
     mg_mod.compute_match_graph(

@@ -167,9 +167,9 @@ def main(argv=None) -> None:
     if not skip:
         variables = None
         if args.checkpoint:
-            from ..models.torch_import import load_checkpoint
+            from ..models.checkpoint import load_any
 
-            variables = load_checkpoint(args.checkpoint)
+            variables = load_any(args.checkpoint)
         refiner = TwoViewRefiner(variables=variables, batch_size=args.batch_size)
 
     compute_match_graph(

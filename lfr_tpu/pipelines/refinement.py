@@ -9,10 +9,10 @@ direction on 2x-upsampled images re-centered by the coarse estimate
 TPU-first differences from the reference:
   * patches are extracted and consumed on device — no GPU->CPU->GPU bounce
     (reference: refinement.py:43,57-58 round-trips through host);
-  * match chunks are padded to a fixed size so every pair reuses one
-    compiled program;
-  * images are padded to shape buckets with dynamic valid extents, so the
-    patch sampler also compiles once.
+  * patch sampling is the separable crop+matmul formulation
+    (ops.patches.extract_patches_separable) over reflect-padded images in
+    shape buckets, so every pair reuses a handful of compiled programs;
+  * CNN chunks are dispatched asynchronously and synced once per stage.
 """
 
 from __future__ import annotations
@@ -26,7 +26,7 @@ import numpy as np
 
 from ..config import DEFAULT_BATCH_SIZE, DISPLACEMENT_UNIT_PX, GRID_OFFSET_PX, PATCH_SIZE
 from ..models import panet
-from ..ops.patches import extract_patches
+from ..ops.patches import REFLECT_MARGIN, effective_margin, extract_patches_separable, reflect_pad_image
 
 #: Image dims are padded up to multiples of this (keeps the jit cache small).
 IMAGE_BUCKET = 256
@@ -51,6 +51,18 @@ def pad_image(image: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return out, np.array([h, w], dtype=np.int32)
 
 
+class _DeviceImage:
+    """An image reflect-padded + bucket-padded on device, with the margin
+    offset to translate image coordinates into padded coordinates."""
+
+    def __init__(self, image: np.ndarray):
+        margin = effective_margin(image)
+        reflected = reflect_pad_image(image)
+        padded, _ = pad_image(reflected)
+        self.array = jnp.asarray(padded)
+        self.offset = float(margin)
+
+
 class TwoViewRefiner:
     """Runs the patch-alignment CNN coarse-to-fine over matched keypoints."""
 
@@ -68,9 +80,9 @@ class TwoViewRefiner:
         self.model = panet.PANet(compute_dtype)
 
         @functools.partial(jax.jit, static_argnames=("sym",))
-        def _patch_cnn(variables, img1, size1, img2, size2, ij1, ij2, sym):
-            p1 = extract_patches(img1, ij1, PATCH_SIZE, size=size1)
-            p2 = extract_patches(img2, ij2, PATCH_SIZE, size=size2)
+        def _patch_cnn(variables, img1, img2, ij1, ij2, sym):
+            p1 = extract_patches_separable(img1, ij1, PATCH_SIZE)
+            p2 = extract_patches_separable(img2, ij2, PATCH_SIZE)
             p1 = panet.normalize_patches(p1)
             p2 = panet.normalize_patches(p2)
             if sym:
@@ -81,45 +93,46 @@ class TwoViewRefiner:
 
     # ------------------------------------------------------------------
 
-    def _run_chunked(self, img1, size1, img2, size2, ij1, ij2, sym: bool):
-        """Chunk (N, 2) center lists to the fixed batch size and run the CNN."""
+    def _run_chunked(self, img1: _DeviceImage, img2: _DeviceImage, ij1, ij2, sym: bool):
+        """Chunk (N, 2) center lists to the fixed batch size and run the CNN.
+
+        All chunks are dispatched before any host sync, so device execution
+        pipelines across chunks.
+        """
         n = ij1.shape[0]
         bs = self.batch_size
-        outs12, outs21 = [], []
+        pending = []
         for start in range(0, n, bs):
-            c1 = ij1[start : start + bs]
-            c2 = ij2[start : start + bs]
+            c1 = ij1[start : start + bs] + img1.offset
+            c2 = ij2[start : start + bs] + img2.offset
             pad = bs - c1.shape[0]
             if pad:
-                c1 = np.concatenate([c1, np.zeros((pad, 2), c1.dtype)])
-                c2 = np.concatenate([c2, np.zeros((pad, 2), c2.dtype)])
+                c1 = np.concatenate([c1, np.full((pad, 2), img1.offset, c1.dtype)])
+                c2 = np.concatenate([c2, np.full((pad, 2), img2.offset, c2.dtype)])
             out = self._patch_cnn(
                 self.variables,
-                img1,
-                size1,
-                img2,
-                size2,
+                img1.array,
+                img2.array,
                 jnp.asarray(c1, jnp.float32),
                 jnp.asarray(c2, jnp.float32),
                 sym,
             )
-            if sym:
-                outs12.append(np.asarray(out[0][: bs - pad]))
-                outs21.append(np.asarray(out[1][: bs - pad]))
-            else:
-                outs12.append(np.asarray(out[: bs - pad]))
-        if sym:
-            return np.concatenate(outs12), np.concatenate(outs21)
-        return np.concatenate(outs12)
+            pending.append((out, bs - pad))
 
-    def _fine_direction(self, up_src, size_src, up_tgt, size_tgt, ij_src, ij_tgt):
+        if sym:
+            d12 = np.concatenate([np.asarray(o[0][:k]) for o, k in pending])
+            d21 = np.concatenate([np.asarray(o[1][:k]) for o, k in pending])
+            return d12, d21
+        return np.concatenate([np.asarray(o[:k]) for o, k in pending])
+
+    def _fine_direction(self, up_src, up_tgt, ij_src, ij_tgt):
         """Asymmetric 3x3-grid pass at octave -1 (reference: refinement.py:145-156).
         Returns (N, 3, 3, 2)."""
         offsets = _grid_offsets(octave=-1.0)  # +-16 px on the 2x image
         n = ij_src.shape[0]
         all_src = (ij_src[:, None] + offsets[None]).reshape(-1, 2)
         all_tgt = (ij_tgt[:, None] + offsets[None]).reshape(-1, 2)
-        disp = self._run_chunked(up_src, size_src, up_tgt, size_tgt, all_src, all_tgt, sym=False)
+        disp = self._run_chunked(up_src, up_tgt, all_src, all_tgt, sym=False)
         return disp.reshape(n, 3, 3, 2)
 
     def refine_matches(
@@ -150,39 +163,25 @@ class TwoViewRefiner:
         ij1 = keypoints1[matches[:, 0]][:, [1, 0]].astype(np.float64)
         ij2 = keypoints2[matches[:, 1]][:, [1, 0]].astype(np.float64)
 
-        img1_p, size1 = pad_image(image1)
-        img2_p, size2 = pad_image(image2)
-        img1_d = jnp.asarray(img1_p)
-        img2_d = jnp.asarray(img2_p)
-        size1_d = jnp.asarray(size1)
-        size2_d = jnp.asarray(size2)
+        d_img1 = _DeviceImage(image1)
+        d_img2 = _DeviceImage(image2)
 
         # Coarse: symmetric, single center, octave 0.
-        coarse12, coarse21 = self._run_chunked(
-            img1_d, size1_d, img2_d, size2_d, ij1, ij2, sym=True
-        )
+        coarse12, coarse21 = self._run_chunked(d_img1, d_img2, ij1, ij2, sym=True)
 
         # Fine: 2x-upsampled images, re-centered targets, octave -1.
-        up1, up_size1 = pad_image(pyr_up(image1))
-        up2, up_size2 = pad_image(pyr_up(image2))
-        up1_d = jnp.asarray(up1)
-        up2_d = jnp.asarray(up2)
-        up_size1_d = jnp.asarray(up_size1)
-        up_size2_d = jnp.asarray(up_size2)
+        d_up1 = _DeviceImage(pyr_up(image1))
+        d_up2 = _DeviceImage(pyr_up(image2))
 
         fine12 = self._fine_direction(
-            up1_d,
-            up_size1_d,
-            up2_d,
-            up_size2_d,
+            d_up1,
+            d_up2,
             2.0 * ij1,
             2.0 * (ij2 + coarse12 * DISPLACEMENT_UNIT_PX),
         )
         fine21 = self._fine_direction(
-            up2_d,
-            up_size2_d,
-            up1_d,
-            up_size1_d,
+            d_up2,
+            d_up1,
             2.0 * ij2,
             2.0 * (ij1 + coarse21 * DISPLACEMENT_UNIT_PX),
         )

@@ -194,3 +194,46 @@ def test_pyr_up_matches_cv2():
     ours = np.asarray(image_ops.pyr_up(jnp.asarray(image)))
     assert ours.shape == ref.shape
     assert np.abs(ours - ref.astype(np.float32)).max() <= 1.0
+
+
+def test_separable_patches_match_reference_sampler():
+    rng = np.random.default_rng(8)
+    image = rng.random((120, 160, 3)).astype(np.float32) * 255
+    ij = np.array([[30.0, 40.0], [60.25, 80.75], [100.6, 120.1], [25.0, 130.9]])
+
+    ref = np.asarray(patches.extract_patches(jnp.asarray(image), jnp.asarray(ij)))
+
+    margin = patches.REFLECT_MARGIN
+    padded = patches.reflect_pad_image(image)
+    fast = np.asarray(
+        patches.extract_patches_separable(jnp.asarray(padded), jnp.asarray(ij + margin))
+    )
+    np.testing.assert_allclose(fast, ref, atol=5e-3, rtol=1e-4)
+
+
+def test_separable_patches_reflection_border():
+    rng = np.random.default_rng(9)
+    image = rng.random((96, 96, 3)).astype(np.float32)
+    # Centers close to / beyond the border exercise the reflect margin.
+    ij = np.array([[2.0, 3.0], [95.0, 1.0], [-6.0, 50.0], [50.0, 101.5]])
+    ref = np.asarray(patches.extract_patches(jnp.asarray(image), jnp.asarray(ij)))
+    margin = patches.effective_margin(image)
+    padded = patches.reflect_pad_image(image)
+    fast = np.asarray(
+        patches.extract_patches_separable(jnp.asarray(padded), jnp.asarray(ij + margin))
+    )
+    np.testing.assert_allclose(fast, ref, atol=5e-3, rtol=1e-4)
+
+
+def test_fused_correlation_pallas_interpret_matches_reference():
+    import jax
+
+    from lfr_tpu.ops import correlation
+
+    rng = np.random.default_rng(10)
+    f_ref = jnp.asarray(rng.standard_normal((2, 384, 128)).astype(np.float32))
+    f_tgt = jnp.asarray(rng.standard_normal((2, 384, 128)).astype(np.float32))
+    c12_ref, c21_ref = correlation.correlation_reference(f_ref, f_tgt)
+    c12_p, c21_p = correlation.correlation_pallas(f_ref, f_tgt, interpret=True)
+    np.testing.assert_allclose(np.asarray(c12_p), np.asarray(c12_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c21_p), np.asarray(c21_ref), atol=1e-5)

@@ -16,7 +16,7 @@ class _ConstantCNN:
         self.v12 = np.asarray(value12, dtype=np.float32)
         self.v21 = np.asarray(value21, dtype=np.float32)
 
-    def __call__(self, variables, img1, size1, img2, size2, ij1, ij2, sym):
+    def __call__(self, variables, img1, img2, ij1, ij2, sym):
         n = ij1.shape[0]
         if sym:
             return (
@@ -59,11 +59,12 @@ def test_fine_recentering_math():
     captured = {}
 
     class Capture(_ConstantCNN):
-        def __call__(self, variables, img1, size1, img2, size2, ij1, ij2, sym):
+        def __call__(self, variables, img1, img2, ij1, ij2, sym):
             if not sym and "fine_ij2" not in captured:
+                # Centers arrive shifted by the reflect margin.
                 captured["fine_ij1"] = np.asarray(ij1)
                 captured["fine_ij2"] = np.asarray(ij2)
-            return super().__call__(variables, img1, size1, img2, size2, ij1, ij2, sym)
+            return super().__call__(variables, img1, img2, ij1, ij2, sym)
 
     coarse = np.array([0.5, -0.25])
     ref._patch_cnn = Capture(coarse, [0.0, 0.0])
@@ -72,8 +73,10 @@ def test_fine_recentering_math():
     ref.refine_matches(img1, kps1, img2, kps2, np.array([[0, 0]]))
 
     grid = refinement._grid_offsets(octave=-1.0)
-    expect_center1 = 2.0 * np.array([30.0, 40.0])
-    expect_center2 = 2.0 * (np.array([20.0, 60.0]) + coarse * DISPLACEMENT_UNIT_PX)
+    # Fine pass runs on the 2x image (192x256), whose reflect margin is 96.
+    margin = 96.0
+    expect_center1 = 2.0 * np.array([30.0, 40.0]) + margin
+    expect_center2 = 2.0 * (np.array([20.0, 60.0]) + coarse * DISPLACEMENT_UNIT_PX) + margin
     got1 = captured["fine_ij1"][:9]
     got2 = captured["fine_ij2"][:9]
     np.testing.assert_allclose(got1, expect_center1[None] + grid, rtol=1e-6)
