@@ -311,7 +311,16 @@ def _parse_pair(buf, pos: int, end: int) -> PairMatches:
     return PairMatches(name1, fact1, name2, fact2, matches, sims, disp1, disp2)
 
 
-def decode_matching_file(data: bytes) -> List[PairMatches]:
+def decode_matching_file(data: bytes, use_native: bool = True) -> List[PairMatches]:
+    if use_native:
+        try:
+            from ..solver.native import decode_matching_file_native
+
+            result = decode_matching_file_native(data)
+            if result is not None:
+                return result
+        except ImportError:
+            pass
     buf = memoryview(data)
     pos = 0
     end = len(buf)

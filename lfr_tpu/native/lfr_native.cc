@@ -84,3 +84,188 @@ void lfr_msf_union_find(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// MatchingFile wire-format decoder.
+//
+// Parses the reference-compatible protobuf artifact (types.proto schema)
+// straight into flat arrays, replacing the Python decoder's per-match loop
+// for large match graphs.  Two-pass API: count, then fill caller-allocated
+// buffers.
+// ---------------------------------------------------------------------------
+
+#include <cstring>
+
+namespace {
+
+struct Cursor {
+  const uint8_t* p;
+  const uint8_t* end;
+  bool ok = true;
+
+  uint64_t varint() {
+    uint64_t v = 0;
+    int shift = 0;
+    while (p < end) {
+      uint8_t b = *p++;
+      v |= static_cast<uint64_t>(b & 0x7F) << shift;
+      if (!(b & 0x80)) return v;
+      shift += 7;
+      if (shift > 63) break;
+    }
+    ok = false;
+    return 0;
+  }
+
+  float fixed32() {
+    if (end - p < 4) { ok = false; return 0.f; }
+    float f;
+    std::memcpy(&f, p, 4);
+    p += 4;
+    return f;
+  }
+
+  void skip(uint8_t tag) {
+    switch (tag & 7) {
+      case 0: varint(); break;
+      case 1: p += 8; break;
+      case 2: { uint64_t n = varint(); p += n; break; }
+      case 5: p += 4; break;
+      default: ok = false;
+    }
+    if (p > end) ok = false;
+  }
+};
+
+// Parse one Displacement submessage -> (di, dj).
+inline void parse_disp(Cursor& c, const uint8_t* end, float* di, float* dj) {
+  *di = 0.f; *dj = 0.f;
+  while (c.p < end && c.ok) {
+    uint8_t tag = *c.p++;
+    if (tag == 0x0D) *di = c.fixed32();
+    else if (tag == 0x15) *dj = c.fixed32();
+    else c.skip(tag);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pass 1: count pairs / matches / name bytes.  Returns 0 on success.
+int lfr_matching_count(const uint8_t* buf, int64_t len,
+                       int64_t* n_pairs, int64_t* n_matches, int64_t* name_bytes) {
+  Cursor c{buf, buf + len};
+  *n_pairs = 0; *n_matches = 0; *name_bytes = 0;
+  while (c.p < c.end && c.ok) {
+    uint8_t tag = *c.p++;
+    if (tag != 0x0A) { c.skip(tag); continue; }
+    uint64_t plen = c.varint();
+    const uint8_t* pend = c.p + plen;
+    if (pend > c.end) return 1;
+    ++*n_pairs;
+    while (c.p < pend && c.ok) {
+      uint8_t t = *c.p++;
+      if (t == 0x0A || t == 0x1A) {            // image_name1 / image_name2
+        uint64_t n = c.varint();
+        *name_bytes += n;
+        c.p += n;
+      } else if (t == 0x2A) {                  // matches entry
+        uint64_t n = c.varint();
+        c.p += n;
+        ++*n_matches;
+      } else {
+        c.skip(t);
+      }
+    }
+    c.p = pend;
+  }
+  return c.ok ? 0 : 1;
+}
+
+// Pass 2: fill flat buffers.
+//   pair_match_counts[n_pairs]   matches per pair
+//   facts[2*n_pairs]             fact1, fact2
+//   name_offsets[2*n_pairs + 1]  running offsets into name_data
+//   name_data[name_bytes]
+//   matches[2*n_matches]         feature_idx1, feature_idx2
+//   sims[n_matches]
+//   disps[n_matches * 36]        disp1 grid (9 x di,dj) then disp2 grid
+int lfr_matching_fill(const uint8_t* buf, int64_t len,
+                      int64_t* pair_match_counts, float* facts,
+                      int64_t* name_offsets, char* name_data,
+                      uint32_t* matches, float* sims, float* disps) {
+  Cursor c{buf, buf + len};
+  int64_t pair_idx = 0, match_idx = 0, name_off = 0, name_idx = 0;
+  name_offsets[0] = 0;
+  while (c.p < c.end && c.ok) {
+    uint8_t tag = *c.p++;
+    if (tag != 0x0A) { c.skip(tag); continue; }
+    uint64_t plen = c.varint();
+    const uint8_t* pend = c.p + plen;
+    int64_t pair_matches = 0;
+    facts[2 * pair_idx] = 0.f;
+    facts[2 * pair_idx + 1] = 0.f;
+    int names_seen = 0;
+    while (c.p < pend && c.ok) {
+      uint8_t t = *c.p++;
+      if (t == 0x0A || t == 0x1A) {
+        uint64_t n = c.varint();
+        std::memcpy(name_data + name_off, c.p, n);
+        name_off += n;
+        name_offsets[++name_idx] = name_off;
+        c.p += n;
+        ++names_seen;
+      } else if (t == 0x15) {
+        facts[2 * pair_idx] = c.fixed32();
+      } else if (t == 0x25) {
+        facts[2 * pair_idx + 1] = c.fixed32();
+      } else if (t == 0x2A) {                  // one Match
+        uint64_t n = c.varint();
+        const uint8_t* mend = c.p + n;
+        uint32_t f1 = 0, f2 = 0;
+        float sim = 0.f;
+        int d1 = 0, d2 = 0;
+        float* base = disps + match_idx * 36;
+        for (int k = 0; k < 36; ++k) base[k] = 0.f;
+        while (c.p < mend && c.ok) {
+          uint8_t mt = *c.p++;
+          if (mt == 0x08) f1 = static_cast<uint32_t>(c.varint());
+          else if (mt == 0x10) f2 = static_cast<uint32_t>(c.varint());
+          else if (mt == 0x1D) sim = c.fixed32();
+          else if (mt == 0x22 || mt == 0x2A) {
+            uint64_t dn = c.varint();
+            const uint8_t* dend = c.p + dn;
+            float di, dj;
+            parse_disp(c, dend, &di, &dj);
+            c.p = dend;
+            if (mt == 0x22) {
+              if (d1 < 9) { base[2 * d1] = di; base[2 * d1 + 1] = dj; }
+              ++d1;
+            } else {
+              if (d2 < 9) { base[18 + 2 * d2] = di; base[18 + 2 * d2 + 1] = dj; }
+              ++d2;
+            }
+          } else {
+            c.skip(mt);
+          }
+        }
+        c.p = mend;
+        matches[2 * match_idx] = f1;
+        matches[2 * match_idx + 1] = f2;
+        sims[match_idx] = sim;
+        ++match_idx;
+        ++pair_matches;
+      } else {
+        c.skip(t);
+      }
+    }
+    // Pairs may omit empty names; keep offsets aligned two per pair.
+    while (names_seen < 2) { name_offsets[++name_idx] = name_off; ++names_seen; }
+    c.p = pend;
+    pair_match_counts[pair_idx++] = pair_matches;
+  }
+  return c.ok ? 0 : 1;
+}
+
+}  // extern "C"

@@ -61,3 +61,80 @@ def msf_union_find(
         order.shape[0], p(order), p(src), p(dst), n_nodes, p(node_image), p(parent)
     )
     return parent
+
+
+def decode_matching_file_native(data: bytes):
+    """Native MatchingFile decode -> list of PairMatches (or None if the
+    library is unavailable)."""
+    lib = _load()
+    if lib is None:
+        return None
+    import ctypes as ct
+
+    if not hasattr(lib, "lfr_matching_count"):
+        return None
+    lib.lfr_matching_count.restype = ct.c_int
+    lib.lfr_matching_fill.restype = ct.c_int
+
+    buf = np.frombuffer(data, dtype=np.uint8)
+    bptr = buf.ctypes.data_as(ct.POINTER(ct.c_uint8))
+    n_pairs = ct.c_int64()
+    n_matches = ct.c_int64()
+    name_bytes = ct.c_int64()
+    rc = lib.lfr_matching_count(
+        bptr, len(data), ct.byref(n_pairs), ct.byref(n_matches), ct.byref(name_bytes)
+    )
+    if rc != 0:
+        raise ValueError("native MatchingFile count pass failed")
+    P, M, NB = n_pairs.value, n_matches.value, name_bytes.value
+
+    counts = np.zeros(P, np.int64)
+    facts = np.zeros(2 * P, np.float32)
+    name_offsets = np.zeros(2 * P + 1, np.int64)
+    name_data = ctypes.create_string_buffer(max(NB, 1))
+    matches = np.zeros(2 * M, np.uint32)
+    sims = np.zeros(M, np.float32)
+    disps = np.zeros(M * 36, np.float32)
+
+    p64 = lambda a: a.ctypes.data_as(ct.POINTER(ct.c_int64))  # noqa: E731
+    pf = lambda a: a.ctypes.data_as(ct.POINTER(ct.c_float))  # noqa: E731
+    rc = lib.lfr_matching_fill(
+        bptr,
+        len(data),
+        p64(counts),
+        pf(facts),
+        p64(name_offsets),
+        name_data,
+        matches.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+        pf(sims),
+        pf(disps),
+    )
+    if rc != 0:
+        raise ValueError("native MatchingFile fill pass failed")
+
+    from ..io.protos import PairMatches
+
+    names_raw = name_data.raw[:NB]
+    out = []
+    m0 = 0
+    for k in range(P):
+        n = int(counts[k])
+        name1 = names_raw[name_offsets[2 * k] : name_offsets[2 * k + 1]].decode("utf-8")
+        name2 = names_raw[name_offsets[2 * k + 1] : name_offsets[2 * k + 2]].decode("utf-8")
+        mm = matches[2 * m0 : 2 * (m0 + n)].reshape(n, 2).copy()
+        ss = sims[m0 : m0 + n].copy()
+        dd = disps[36 * m0 : 36 * (m0 + n)].reshape(n, 2, 3, 3, 2)
+        out.append(
+            PairMatches(
+                name1,
+                float(facts[2 * k]),
+                name2,
+                float(facts[2 * k + 1]),
+                mm,
+                ss,
+                dd[:, 0].copy(),
+                dd[:, 1].copy(),
+            )
+        )
+        m0 += n
+    return out

@@ -89,6 +89,109 @@ class Scene:
         return self.rotations.shape[0]
 
 
+def planar_scene(
+    rng: np.random.Generator,
+    num_points: int = 150,
+    num_cameras: int = 4,
+    width: int = 640,
+    height: int = 480,
+    plane_z: float = 6.0,
+    plane_half: float = 2.6,
+    tex_px_per_unit: float = 220.0,
+) -> Tuple["Scene", List[np.ndarray]]:
+    """A textured plane photographed by an arc of cameras.
+
+    Unlike :func:`random_scene`, the rendered images show the *same*
+    surface, so patch-based refinement has real correspondences to align.
+    Returns (scene, images); scene.points lie on the plane z=plane_z.
+    """
+    tex_size = int(2 * plane_half * tex_px_per_unit) + 64
+    texture = textured_image(rng, tex_size, tex_size).astype(np.float32)
+
+    points = np.stack(
+        [
+            rng.uniform(-plane_half * 0.8, plane_half * 0.8, num_points),
+            rng.uniform(-plane_half * 0.8, plane_half * 0.8, num_points),
+            np.full(num_points, plane_z),
+        ],
+        axis=1,
+    )
+
+    f = 500.0
+    K = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1.0]])
+    Kinv = np.linalg.inv(K)
+
+    def tex_coords(xy_world):
+        """Plane (x, y) -> texture (row, col)."""
+        u = (xy_world[..., 0] + plane_half) * tex_px_per_unit + 32
+        v = (xy_world[..., 1] + plane_half) * tex_px_per_unit + 32
+        return v, u  # row = y, col = x
+
+    def bilinear(tex, r, c):
+        r = np.clip(r, 0, tex.shape[0] - 2)
+        c = np.clip(c, 0, tex.shape[1] - 2)
+        r0 = np.floor(r).astype(int)
+        c0 = np.floor(c).astype(int)
+        fr = (r - r0)[..., None]
+        fc = (c - c0)[..., None]
+        return (
+            tex[r0, c0] * (1 - fr) * (1 - fc)
+            + tex[r0, c0 + 1] * (1 - fr) * fc
+            + tex[r0 + 1, c0] * fr * (1 - fc)
+            + tex[r0 + 1, c0 + 1] * fr * fc
+        )
+
+    rotations, translations, observations, visible, images = [], [], [], [], []
+    for c in range(num_cameras):
+        angle = (c - (num_cameras - 1) / 2) * 0.1
+        Ry = np.array(
+            [
+                [np.cos(angle), 0, np.sin(angle)],
+                [0, 1, 0],
+                [-np.sin(angle), 0, np.cos(angle)],
+            ]
+        )
+        center = np.array([plane_z * np.sin(angle), 0.15 * c, plane_z - plane_z * np.cos(angle)])
+        R = Ry
+        t = -R @ center
+
+        cam_pts = points @ R.T + t
+        uv = (cam_pts / cam_pts[:, 2:]) @ K.T
+        uv = uv[:, :2]
+        vis = (
+            (uv[:, 0] > 20) & (uv[:, 0] < width - 20) & (uv[:, 1] > 20) & (uv[:, 1] < height - 20)
+        )
+
+        # Render by inverse warping: pixel ray -> plane -> texture.
+        jj, ii = np.meshgrid(np.arange(width), np.arange(height))
+        rays = np.stack([jj, ii, np.ones_like(jj)], axis=-1).astype(np.float64) @ Kinv.T
+        # World ray direction and origin.
+        d = rays @ R  # R^T @ ray per pixel
+        o = center
+        lam = (plane_z - o[2]) / d[..., 2]
+        world = o[None, None] + lam[..., None] * d
+        r_t, c_t = tex_coords(world[..., :2])
+        img = bilinear(texture, r_t, c_t)
+        images.append(np.clip(img, 0, 255).astype(np.uint8))
+
+        rotations.append(R)
+        translations.append(t)
+        observations.append(uv)
+        visible.append(vis)
+
+    scene = Scene(
+        points=points,
+        rotations=np.stack(rotations),
+        translations=np.stack(translations),
+        K=K,
+        width=width,
+        height=height,
+        observations=observations,
+        visible=visible,
+    )
+    return scene, images
+
+
 def make_eth3d_dataset(
     root: str,
     scene: "Scene",
@@ -96,6 +199,7 @@ def make_eth3d_dataset(
     method: str = "sift",
     keypoint_noise_px: float = 0.0,
     descriptor_dim: int = 128,
+    rendered_images: "List[np.ndarray]" = None,
 ) -> str:
     """Materialize an ETH3D-layout dataset from a synthetic scene.
 
@@ -135,7 +239,11 @@ def make_eth3d_dataset(
     for c in range(scene.num_cameras):
         name = f"im{c:02d}.png"
         names.append(name)
-        img = textured_image(rng, scene.height, scene.width)
+        img = (
+            rendered_images[c]
+            if rendered_images is not None
+            else textured_image(rng, scene.height, scene.width)
+        )
         try:
             import cv2
 

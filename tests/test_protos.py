@@ -140,3 +140,29 @@ def test_part_files(tmp_path):
     pairs = protos.read_matching_file(str(base))
     assert len(pairs) == 2
     assert pairs[1].image_name1 == "c.jpg"
+
+
+def test_native_decoder_parity():
+    pytest.importorskip("ctypes")
+    from lfr_tpu.solver.native import decode_matching_file_native
+
+    rng = np.random.default_rng(11)
+    pairs = [
+        _random_pair(rng, 23),
+        _random_pair(rng, 0, "e1.png", "e2.png"),
+        _random_pair(rng, 7, zero_grids=True),
+    ]
+    blob = protos.encode_matching_file(pairs)
+    native = decode_matching_file_native(blob)
+    if native is None:
+        pytest.skip("native library not built")
+    python = protos.decode_matching_file(blob, use_native=False)
+    assert len(native) == len(python) == 3
+    for a, b in zip(native, python):
+        assert a.image_name1 == b.image_name1
+        assert a.image_name2 == b.image_name2
+        assert a.fact1 == pytest.approx(b.fact1)
+        np.testing.assert_array_equal(a.matches, b.matches)
+        np.testing.assert_allclose(a.similarities, b.similarities, rtol=0)
+        np.testing.assert_allclose(a.disp1, b.disp1, rtol=0)
+        np.testing.assert_allclose(a.disp2, b.disp2, rtol=0)
