@@ -72,8 +72,13 @@ def make_train_step(tx: optax.GradientTransformation, compute_dtype=jnp.bfloat16
             method=panet.PANet.forward_sym,
             mutable=["batch_stats"],
         )
-        main = jnp.mean(jnp.sum((d12 - delta) ** 2, axis=-1))
-        main += jnp.mean(jnp.sum((d21 + delta) ** 2, axis=-1))
+        # The target patch is sampled at center + delta, so its content sits
+        # at -delta relative to the reference: the alignment displacement
+        # the pipeline applies to the *target keypoint*
+        # (reference: refinement.py:147 `ij2 + coarse12 * 16`) is -delta,
+        # and +delta in the reverse direction.
+        main = jnp.mean(jnp.sum((d12 + delta) ** 2, axis=-1))
+        main += jnp.mean(jnp.sum((d21 - delta) ** 2, axis=-1))
         # Symmetry consistency: the two directions should be opposite.
         sym = jnp.mean(jnp.sum((d12 + d21) ** 2, axis=-1))
         loss = main + 0.1 * sym

@@ -28,6 +28,7 @@ def run_eth(
     skip_refinement: bool = False,
     checkpoint: Optional[str] = None,
     evaluate: bool = True,
+    batch_size: int = None,
     verbose: bool = True,
 ) -> dict:
     """ETH3D triangulation benchmark for one dataset
@@ -50,7 +51,8 @@ def run_eth(
             from ..models.checkpoint import load_any
 
             variables = load_any(checkpoint)
-        refiner = TwoViewRefiner(variables=variables)
+        kwargs = {"batch_size": batch_size} if batch_size else {}
+        refiner = TwoViewRefiner(variables=variables, **kwargs)
 
     mg_mod.compute_match_graph(
         os.path.join(dataset_path, "images"),
@@ -96,6 +98,7 @@ def run_sfm(
     output_path: str = "output",
     skip_refinement: bool = False,
     checkpoint: Optional[str] = None,
+    batch_size: int = None,
     verbose: bool = True,
 ) -> dict:
     """Full-SfM benchmark for one dataset — the LFE / custom-demo path
@@ -119,7 +122,8 @@ def run_sfm(
             from ..models.checkpoint import load_any
 
             variables = load_any(checkpoint)
-        refiner = TwoViewRefiner(variables=variables)
+        kwargs = {"batch_size": batch_size} if batch_size else {}
+        refiner = TwoViewRefiner(variables=variables, **kwargs)
 
     mg_mod.compute_match_graph(
         os.path.join(dataset_path, "images"),

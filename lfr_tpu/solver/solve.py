@@ -28,13 +28,27 @@ def solve_matches(
     pairs: Sequence[protos.PairMatches],
     banned_images: Optional[Set[str]] = None,
     max_iter: int = None,
+    use_mesh: Optional[bool] = None,
     verbose: bool = True,
 ) -> List[protos.ImageSolution]:
-    """Full multi-view optimization over decoded match pairs."""
+    """Full multi-view optimization over decoded match pairs.
+
+    ``use_mesh``: shard component batches over all devices (component
+    parallelism); default: automatic when more than one device is visible.
+    """
+    import jax
+
     from ..config import LM_MAX_ITERATIONS
 
     if max_iter is None:
         max_iter = LM_MAX_ITERATIONS
+    if use_mesh is None:
+        use_mesh = jax.device_count() > 1
+    mesh = None
+    if use_mesh:
+        from ..parallel import mesh as mesh_mod
+
+        mesh = mesh_mod.make_mesh()
 
     def log(msg):
         if verbose:
@@ -62,7 +76,12 @@ def solve_matches(
     t1 = time.time()
     packed = buckets_mod.pack_components(graph, tracks, component_idx)
     for batch, node_map in zip(packed.batches, packed.node_maps):
-        solved = solve_batch(batch, max_iter=max_iter)
+        if mesh is not None:
+            from ..parallel.sharded import sharded_solve_batch
+
+            solved = sharded_solve_batch(batch, mesh, max_iter=max_iter)
+        else:
+            solved = solve_batch(batch, max_iter=max_iter)
         valid = node_map >= 0
         positions[node_map[valid]] = solved[valid]
     t2 = time.time()

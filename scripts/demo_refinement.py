@@ -29,6 +29,7 @@ def main():
     parser.add_argument("--cameras", type=int, default=4)
     parser.add_argument("--points", type=int, default=150)
     parser.add_argument("--platform", default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
     args = parser.parse_args()
 
     from lfr_tpu.utils.platform import select_platform
@@ -58,6 +59,7 @@ def main():
         "sift",
         output_path=os.path.join(root, "output"),
         checkpoint=args.checkpoint,
+        batch_size=args.batch_size,
         verbose=True,
     )
 

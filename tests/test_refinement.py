@@ -118,3 +118,71 @@ def test_pad_image_buckets():
     np.testing.assert_array_equal(size, [100, 300])
     assert padded[:100, :300].min() == 1
     assert padded[100:].max() == 0
+
+
+class _NCCOracleCNN:
+    """A 'perfect' patch aligner: brute-force SSD search over integer shifts.
+
+    Pins the displacement-sign convention of the whole refinement chain: for
+    (reference, target) patches it returns the shift (in 16px units) that
+    the pipeline should ADD to the target keypoint to land on the content
+    matching the reference center.
+    """
+
+    def __init__(self, max_shift=8):
+        self.max_shift = max_shift
+
+    def _align(self, ref_patches, tgt_patches):
+        import itertools
+
+        n = ref_patches.shape[0]
+        out = np.zeros((n, 2), np.float32)
+        r = self.max_shift
+        for k in range(n):
+            ref = ref_patches[k].mean(-1)
+            tgt = tgt_patches[k].mean(-1)
+            best = (1e18, 0, 0)
+            for di, dj in itertools.product(range(-r, r + 1), repeat=2):
+                a = ref[max(0, -di) : 33 - max(0, di), max(0, -dj) : 33 - max(0, dj)]
+                b = tgt[max(0, di) : 33 + min(0, di), max(0, dj) : 33 + min(0, dj)]
+                ssd = float(((a - b) ** 2).mean())
+                if ssd < best[0]:
+                    best = (ssd, di, dj)
+            # tgt[x + s] ~ ref[x] at s = best shift; the correction for the
+            # target keypoint is s (content sits at +s inside the target).
+            out[k] = (best[1] / 16.0, best[2] / 16.0)
+        return out
+
+    def __call__(self, variables, img1, img2, ij1, ij2, sym):
+        from lfr_tpu.ops.patches import extract_patches_separable
+
+        p1 = np.asarray(extract_patches_separable(img1, jnp.asarray(ij1)))
+        p2 = np.asarray(extract_patches_separable(img2, jnp.asarray(ij2)))
+        d12 = self._align(p1, p2)
+        if not sym:
+            return jnp.asarray(d12)
+        d21 = self._align(p2, p1)
+        return jnp.asarray(d12), jnp.asarray(d21)
+
+
+def test_oracle_refinement_corrects_keypoint_noise():
+    """End-to-end sign/unit convention check with a perfect patch aligner."""
+    rng = np.random.default_rng(11)
+    img1, img2 = synthetic.shifted_pair(rng, 160, 200, (0, 0))  # identical images
+    ref = _make_refiner(batch_size=32)
+    ref._patch_cnn = _NCCOracleCNN()
+
+    kp_true = np.stack([rng.uniform(40, 160, 8), rng.uniform(40, 120, 8)], axis=1)
+    noise = rng.uniform(-3, 3, (8, 2)).round()  # integer noise, oracle is integer
+    kp2_noisy = kp_true + noise
+    matches = np.stack([np.arange(8), np.arange(8)], axis=1)
+
+    g12, _ = ref.refine_matches(img1, kp_true, img2, kp2_noisy, matches)
+    # Applying the center displacement to the noisy keypoint (x += dj*16,
+    # y += di*16; reference: colmap_utils.py:126-137) must cancel the noise.
+    corr = g12[:, 1, 1][:, ::-1] * 16.0  # (dj, di) -> (dx, dy)
+    recovered = kp2_noisy + corr
+    err_before = np.linalg.norm(kp2_noisy - kp_true, axis=1)
+    err_after = np.linalg.norm(recovered - kp_true, axis=1)
+    assert np.median(err_after) <= 1.0
+    assert err_after.mean() < err_before.mean() * 0.5
