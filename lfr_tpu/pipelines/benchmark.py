@@ -27,6 +27,7 @@ def run_eth(
     output_path: str = "output",
     skip_refinement: bool = False,
     checkpoint: Optional[str] = None,
+    refiner=None,
     evaluate: bool = True,
     batch_size: int = None,
     verbose: bool = True,
@@ -42,8 +43,7 @@ def run_eth(
     scan_file = os.path.join(dataset_path, "dslr_scan_eval", "scan_alignment.mlp")
 
     # Two-view stage.
-    refiner = None
-    if not skip_refinement:
+    if refiner is None and not skip_refinement:
         from .refinement import TwoViewRefiner
 
         variables = None
@@ -98,6 +98,7 @@ def run_sfm(
     output_path: str = "output",
     skip_refinement: bool = False,
     checkpoint: Optional[str] = None,
+    refiner=None,
     batch_size: int = None,
     verbose: bool = True,
 ) -> dict:
@@ -113,8 +114,7 @@ def run_sfm(
     matches_file = os.path.join(output_path, f"{method_name}-{dataset_name}-matches.pb")
     solution_file = os.path.join(output_path, f"{method_name}-{dataset_name}-solution.pb")
 
-    refiner = None
-    if not skip_refinement:
+    if refiner is None and not skip_refinement:
         from .refinement import TwoViewRefiner
 
         variables = None
