@@ -12,9 +12,25 @@ from __future__ import annotations
 import os
 
 
+def enable_compilation_cache() -> None:
+    """Persistent XLA compile cache — first-compile latency through the
+    remote TPU compiler is minutes, so every entry point amortizes it."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "LFR_JAX_CACHE", os.path.expanduser("~/.cache/lfr_jax_cache")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def select_platform(platform: str = None) -> None:
     import jax
 
+    enable_compilation_cache()
     platform = platform or os.environ.get("LFR_PLATFORM")
     if not platform:
         return
