@@ -12,11 +12,10 @@ Replaces the BA that the reference gets implicitly from ``colmap mapper`` /
     with scatter-adds, then solves by dense Cholesky;
   * points back-substitute in parallel.
 
-Camera increments use the SO(3) exponential retraction R <- exp(w) R.
-Gauge freedom is handled by freezing designated cameras + LM damping.
-Observations shard over the device mesh for multi-chip scaling: each shard
-accumulates partial (S, rhs) and a ``psum`` reduces them (see
-lfr_tpu.parallel.sharded_ba).
+Camera parameters per view: SO(3) increment (exp retraction), translation,
+and a log-focal scale (frozen unless ``refine_focal`` — the COLMAP-mapper
+behavior of refining intrinsics).  Gauge freedom is handled by per-parameter
+freezing + LM damping.
 """
 
 from __future__ import annotations
@@ -31,15 +30,17 @@ import numpy as np
 
 HUBER_DELTA_PX = 4.0
 
+#: Camera parameters per view: rotation (3) + translation (3) + log-focal (1).
+CAM_DOF = 7
+
 
 @dataclasses.dataclass
 class BAProblem:
     """Flat bundle-adjustment problem in *normalized* camera coordinates.
 
-    Observations must be grouped by point: ``obs_pt`` is non-decreasing.
-    ``point_obs_start[p] : point_obs_start[p] + point_obs_count[p]`` indexes
-    point p's observations.  uv are undistorted normalized coords; residual
-    scaling to pixels happens via ``focal`` per observation.
+    Observations must be grouped by point (``obs_pt`` non-decreasing).
+    uv are undistorted normalized coords; residual scaling to pixels happens
+    via ``focal`` per observation.
     """
 
     R: np.ndarray            # (C, 3, 3) world->cam
@@ -53,6 +54,11 @@ class BAProblem:
     #: (per-parameter masks implement gauge fixing: freeze camera 0 fully
     #: plus one translation axis of camera 1, COLMAP-style).
     fixed_cameras: np.ndarray
+    #: Refine per-view log-focal scales (COLMAP mapper's intrinsics
+    #: refinement; keep False for fixed-intrinsics triangulation parity).
+    refine_focal: bool = False
+    #: (C,) initial log-focal scales (default zeros).
+    fscale: Optional[np.ndarray] = None
 
 
 def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
@@ -84,36 +90,35 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     return eye + A[..., None, None] * K + B[..., None, None] * (K @ K)
 
 
-def _residual_one(w, dt, dX, R0, t0, X0, uv, focal):
-    """Reprojection residual (in px) for one observation, as a function of
-    the camera increment (w, dt) and point increment dX."""
+def _residual_one(w, dt, ds, dX, R0, t0, fs0, X0, uv, focal):
+    """Reprojection residual (px) for one observation as a function of the
+    camera increment (w, dt, ds = log-focal) and point increment dX."""
     R = so3_exp(w) @ R0
     t = t0 + dt
     X = X0 + dX
     c = R @ X + t
     z = jnp.where(jnp.abs(c[2]) < 1e-9, 1e-9, c[2])
-    proj = c[:2] / z
+    proj = c[:2] / z * jnp.exp(fs0 + ds)
     return (proj - uv) * focal
 
 
-def _obs_jacobians(R, t, points, obs_cam, obs_pt, obs_uv, obs_focal):
+def _obs_jacobians(R, t, fscale, points, obs_cam, obs_pt, obs_uv, obs_focal):
     """Residuals + Jacobians for all observations.
 
-    Returns r (O, 2), Jc (O, 2, 6) [w, dt], Jp (O, 2, 3), plus robust
-    weights.
+    Returns r (O, 2), Jc (O, 2, CAM_DOF), Jp (O, 2, 3), robust weights.
     """
 
     def per_obs(ci, pi, uv, f):
-        z6 = jnp.zeros(6)
-
         def res_params(params):
-            w, dt, dX = params[:3], params[3:6], params[6:9]
-            return _residual_one(w, dt, dX, R[ci], t[ci], points[pi], uv, f)
+            w, dt, ds, dX = params[:3], params[3:6], params[6], params[7:10]
+            return _residual_one(
+                w, dt, ds, dX, R[ci], t[ci], fscale[ci], points[pi], uv, f
+            )
 
-        params0 = jnp.zeros(9)
+        params0 = jnp.zeros(10)
         r = res_params(params0)
-        J = jax.jacfwd(res_params)(params0)  # (2, 9)
-        return r, J[:, :6], J[:, 6:9]
+        J = jax.jacfwd(res_params)(params0)  # (2, 10)
+        return r, J[:, :CAM_DOF], J[:, CAM_DOF:]
 
     r, Jc, Jp = jax.vmap(per_obs)(obs_cam, obs_pt, obs_uv, obs_focal)
     # Huber weights on the residual norm (px).
@@ -122,10 +127,11 @@ def _obs_jacobians(R, t, points, obs_cam, obs_pt, obs_uv, obs_focal):
     return r, Jc, Jp, w
 
 
-def _cost(R, t, points, obs_cam, obs_pt, obs_uv, obs_focal):
+def _cost(R, t, fscale, points, obs_cam, obs_pt, obs_uv, obs_focal):
     def per_obs(ci, pi, uv, f):
         return _residual_one(
-            jnp.zeros(3), jnp.zeros(3), jnp.zeros(3), R[ci], t[ci], points[pi], uv, f
+            jnp.zeros(3), jnp.zeros(3), 0.0, jnp.zeros(3),
+            R[ci], t[ci], fscale[ci], points[pi], uv, f,
         )
 
     r = jax.vmap(per_obs)(obs_cam, obs_pt, obs_uv, obs_focal)
@@ -137,94 +143,88 @@ def _cost(R, t, points, obs_cam, obs_pt, obs_uv, obs_focal):
     return jnp.sum(huber)
 
 
-@functools.partial(jax.jit, static_argnames=("n_cameras", "max_obs_per_point", "iterations"))
+@functools.partial(jax.jit, static_argnames=("n_cameras", "iterations"))
 def ba_iterate(
     R,
     t,
+    fscale,
     points,
     obs_cam,
     obs_pt,
     obs_uv,
     obs_focal,
-    fixed_cameras,
+    free,            # (C, CAM_DOF) float mask
     pt_obs_idx,      # (P, V) indices into obs arrays, padded with -1
     pt_obs_valid,    # (P, V)
     n_cameras: int,
-    max_obs_per_point: int,
     iterations: int = 20,
 ):
-    """LM loop.  Returns (R, t, points, final_cost)."""
+    """LM loop.  Returns (R, t, fscale, points, final_cost)."""
+    d = CAM_DOF
 
-    if fixed_cameras.ndim == 1:
-        free = jnp.broadcast_to((~fixed_cameras)[:, None], fixed_cameras.shape + (6,))
-    else:
-        free = ~fixed_cameras
-    free = free.astype(jnp.float32)  # (C, 6)
-
-    def build_and_solve(Rc, tc, Xc, lam):
-        r, Jc, Jp, w = _obs_jacobians(Rc, tc, Xc, obs_cam, obs_pt, obs_uv, obs_focal)
-        # Mask Jacobians of fixed cameras.
+    def build_and_solve(Rc, tc, fsc, Xc, lam):
+        r, Jc, Jp, w = _obs_jacobians(
+            Rc, tc, fsc, Xc, obs_cam, obs_pt, obs_uv, obs_focal
+        )
+        # Mask Jacobians of frozen parameters.
         Jc = Jc * free[obs_cam][:, None, :]
         sw = jnp.sqrt(w)[:, None, None]
         Jc = Jc * sw
         Jp = Jp * sw
         rw = r * jnp.sqrt(w)[:, None]
 
-        # Camera block B (block-diagonal 6x6 per camera) and gradient.
-        JcT_Jc = jnp.einsum("oia,oib->oab", Jc, Jc)     # (O, 6, 6)
-        JcT_r = jnp.einsum("oia,oi->oa", Jc, rw)        # (O, 6)
+        # Camera block B (block-diagonal d x d per camera) and gradient.
+        JcT_Jc = jnp.einsum("oia,oib->oab", Jc, Jc)
+        JcT_r = jnp.einsum("oia,oi->oa", Jc, rw)
         B = jax.ops.segment_sum(JcT_Jc, obs_cam, n_cameras)
         g_c = jax.ops.segment_sum(JcT_r, obs_cam, n_cameras)
 
         # Point blocks C (3x3) and gradient, per point via padded groups.
         o_idx = jnp.maximum(pt_obs_idx, 0)
         Jp_g = Jp[o_idx] * pt_obs_valid[..., None, None]    # (P, V, 2, 3)
-        Jc_g = Jc[o_idx] * pt_obs_valid[..., None, None]    # (P, V, 2, 6)
+        Jc_g = Jc[o_idx] * pt_obs_valid[..., None, None]    # (P, V, 2, d)
         r_g = rw[o_idx] * pt_obs_valid[..., None]           # (P, V, 2)
         cam_g = obs_cam[o_idx]                              # (P, V)
 
         Cp = jnp.einsum("pvia,pvib->pab", Jp_g, Jp_g)       # (P, 3, 3)
         g_p = jnp.einsum("pvia,pvi->pa", Jp_g, r_g)         # (P, 3)
         # Damp both blocks (Marquardt scaling).
-        B = B + lam * jnp.eye(6)[None] * jnp.maximum(
+        B = B + lam * jnp.eye(d)[None] * jnp.maximum(
             jnp.diagonal(B, axis1=1, axis2=2), 1e-6
-        )[:, :, None] * jnp.eye(6)[None]
+        )[:, :, None]
         Cp = Cp + lam * jnp.eye(3)[None] * jnp.maximum(
             jnp.diagonal(Cp, axis1=1, axis2=2), 1e-6
-        )[:, :, None] * jnp.eye(3)[None]
+        )[:, :, None]
         Cp_inv = jnp.linalg.inv(Cp + 1e-9 * jnp.eye(3)[None])
 
-        # E blocks per (point, view): (6, 3).
-        E = jnp.einsum("pvia,pvib->pvab", Jc_g, Jp_g)       # (P, V, 6, 3)
+        # E blocks per (point, view): (d, 3).
+        E = jnp.einsum("pvia,pvib->pvab", Jc_g, Jp_g)
+        ECi = jnp.einsum("pvab,pbc->pvac", E, Cp_inv)
+        S_contrib = jnp.einsum("pvac,pwbc->pvwab", ECi, E)  # (P, V, V, d, d)
+        rhs_contrib = jnp.einsum("pvac,pc->pva", ECi, g_p)  # (P, V, d)
 
-        # Schur: S = blockdiag(B) - sum_p E_a C^-1 E_b^T over view pairs.
-        ECi = jnp.einsum("pvab,pbc->pvac", E, Cp_inv)       # (P, V, 6, 3)
-        S_contrib = jnp.einsum("pvac,pwbc->pvwab", ECi, E)  # (P, V, V, 6, 6)
-        rhs_contrib = jnp.einsum("pvac,pc->pva", ECi, g_p)  # (P, V, 6)
-
-        S = jnp.zeros((n_cameras, n_cameras, 6, 6))
+        S = jnp.zeros((n_cameras, n_cameras, d, d))
         pair_valid = (pt_obs_valid[:, :, None] & pt_obs_valid[:, None, :])[..., None, None]
         ca = jnp.broadcast_to(cam_g[:, :, None], cam_g.shape + (cam_g.shape[1],))
         cb = jnp.broadcast_to(cam_g[:, None, :], ca.shape)
         S = S.at[ca.reshape(-1), cb.reshape(-1)].add(
-            (-S_contrib * pair_valid).reshape(-1, 6, 6)
+            (-S_contrib * pair_valid).reshape(-1, d, d)
         )
         S = S.at[jnp.arange(n_cameras), jnp.arange(n_cameras)].add(B)
 
         rhs = g_c - jax.ops.segment_sum(
-            (rhs_contrib * pt_obs_valid[..., None]).reshape(-1, 6),
+            (rhs_contrib * pt_obs_valid[..., None]).reshape(-1, d),
             cam_g.reshape(-1),
             n_cameras,
         )
 
         # Dense solve of the reduced camera system.
-        Sd = jnp.transpose(S, (0, 2, 1, 3)).reshape(6 * n_cameras, 6 * n_cameras)
-        # Freeze fixed cameras: unit diagonal rows/cols, zero rhs.
+        Sd = jnp.transpose(S, (0, 2, 1, 3)).reshape(d * n_cameras, d * n_cameras)
         fmask = free.reshape(-1)
         Sd = Sd * fmask[:, None] * fmask[None, :] + jnp.diag(1.0 - fmask)
         rhs_flat = (-rhs.reshape(-1)) * fmask
         L, low = jax.scipy.linalg.cho_factor(Sd, lower=True)
-        dc = jax.scipy.linalg.cho_solve((L, low), rhs_flat).reshape(n_cameras, 6)
+        dc = jax.scipy.linalg.cho_solve((L, low), rhs_flat).reshape(n_cameras, d)
 
         # Back-substitute points: dX = C^-1 (-g_p - E^T dc).
         ET_dc = jnp.einsum("pvab,pva->pb", E, dc[cam_g] * pt_obs_valid[..., None])
@@ -232,33 +232,35 @@ def ba_iterate(
         return dc, dX
 
     def body(state):
-        Rc, tc, Xc, lam, cost, done, it = state
-        dc, dX = build_and_solve(Rc, tc, Xc, lam)
+        Rc, tc, fsc, Xc, lam, cost, done, it = state
+        dc, dX = build_and_solve(Rc, tc, fsc, Xc, lam)
         dc = dc * free
-        w = dc[:, :3]
-        dt = dc[:, 3:]
-        R_new = so3_exp(w) @ Rc
-        t_new = tc + dt
+        R_new = so3_exp(dc[:, :3]) @ Rc
+        t_new = tc + dc[:, 3:6]
+        fs_new = fsc + dc[:, 6]
         X_new = Xc + dX
-        new_cost = _cost(R_new, t_new, X_new, obs_cam, obs_pt, obs_uv, obs_focal)
+        new_cost = _cost(R_new, t_new, fs_new, X_new, obs_cam, obs_pt, obs_uv, obs_focal)
         finite = jnp.isfinite(new_cost)
         accept = finite & (new_cost < cost)
         Rc = jnp.where(accept, R_new, Rc)
         tc = jnp.where(accept, t_new, tc)
+        fsc = jnp.where(accept, fs_new, fsc)
         Xc = jnp.where(accept, X_new, Xc)
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-10), jnp.minimum(lam * 5.0, 1e8))
         rel = jnp.abs(cost - new_cost) / jnp.maximum(cost, 1e-20)
         done = done | (accept & (rel < 1e-6)) | (~finite & (lam >= 1e8))
         cost = jnp.where(accept, new_cost, cost)
-        return Rc, tc, Xc, lam, cost, done, it + 1
+        return Rc, tc, fsc, Xc, lam, cost, done, it + 1
 
     def cond(state):
-        return (~state[5]) & (state[6] < iterations)
+        return (~state[6]) & (state[7] < iterations)
 
-    cost0 = _cost(R, t, points, obs_cam, obs_pt, obs_uv, obs_focal)
-    init = (R, t, points, jnp.asarray(1e-3), cost0, jnp.asarray(False), jnp.asarray(0))
-    R, t, points, _, cost, _, _ = jax.lax.while_loop(cond, body, init)
-    return R, t, points, cost
+    cost0 = _cost(R, t, fscale, points, obs_cam, obs_pt, obs_uv, obs_focal)
+    init = (
+        R, t, fscale, points, jnp.asarray(1e-3), cost0, jnp.asarray(False), jnp.asarray(0),
+    )
+    R, t, fscale, points, _, cost, _, _ = jax.lax.while_loop(cond, body, init)
+    return R, t, fscale, points, cost
 
 
 def _group_by_point(obs_pt: np.ndarray, n_points: int, cap: int = 32):
@@ -276,24 +278,42 @@ def _group_by_point(obs_pt: np.ndarray, n_points: int, cap: int = 32):
     return idx, valid
 
 
-def run_ba(problem: BAProblem, iterations: int = 30) -> Tuple[np.ndarray, np.ndarray, np.ndarray, float]:
-    """Solve; returns (R, t, points, final_cost)."""
+def _free_mask(problem: BAProblem) -> np.ndarray:
+    fixed = problem.fixed_cameras
+    c = problem.R.shape[0]
+    if fixed.ndim == 1:
+        pose_free = np.repeat((~fixed)[:, None], 6, axis=1)
+    else:
+        pose_free = ~fixed[:, :6]
+    focal_free = np.full(
+        (c, 1), problem.refine_focal, bool
+    ) & pose_free.any(axis=1, keepdims=True)
+    return np.concatenate([pose_free, focal_free], axis=1).astype(np.float32)
+
+
+def run_ba(
+    problem: BAProblem, iterations: int = 30
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, float]:
+    """Solve; returns (R, t, log_focal_scales, points, final_cost)."""
     n_cameras = problem.R.shape[0]
     n_points = problem.points.shape[0]
     pt_idx, pt_valid = _group_by_point(problem.obs_pt, n_points)
-    R, t, X, cost = ba_iterate(
+    fscale0 = (
+        problem.fscale if problem.fscale is not None else np.zeros(n_cameras)
+    )
+    R, t, fscale, X, cost = ba_iterate(
         jnp.asarray(problem.R),
         jnp.asarray(problem.t),
+        jnp.asarray(fscale0, dtype=jnp.float32),
         jnp.asarray(problem.points),
         jnp.asarray(problem.obs_cam),
         jnp.asarray(problem.obs_pt),
         jnp.asarray(problem.obs_uv),
         jnp.asarray(problem.obs_focal),
-        jnp.asarray(problem.fixed_cameras),
+        jnp.asarray(_free_mask(problem)),
         jnp.asarray(pt_idx),
         jnp.asarray(pt_valid),
         n_cameras=n_cameras,
-        max_obs_per_point=pt_idx.shape[1],
         iterations=iterations,
     )
-    return np.asarray(R), np.asarray(t), np.asarray(X), float(cost)
+    return np.asarray(R), np.asarray(t), np.asarray(fscale), np.asarray(X), float(cost)

@@ -38,6 +38,9 @@ class MapperOptions:
     ba_global_every: int = 5
     ba_iterations: int = 25
     min_track_len: int = 2
+    #: Refine per-view focal scales in BA (sensible when each image has its
+    #: own camera, e.g. EXIF-bootstrapped databases).
+    refine_focal: bool = False
 
 
 class IncrementalMapper:
@@ -316,11 +319,19 @@ class IncrementalMapper:
             np.asarray(obs_uv)[order],
             np.asarray(obs_f)[order],
             fixed,
+            refine_focal=self.opt.refine_focal,
         )
-        R, t, X, _ = ba_mod.run_ba(problem, iterations=self.opt.ba_iterations)
+        R, t, fscale, X, _ = ba_mod.run_ba(problem, iterations=self.opt.ba_iterations)
         for iid, k in cam_index.items():
             self.R[iid] = R[k]
             self.t[iid] = t[k]
+            if self.opt.refine_focal and fscale[k] != 0.0:
+                # Fold the refined focal into this view's observations so
+                # later rounds (and _reproj_err) stay consistent: with
+                # f1 = f0*exp(s), norm_uv_new = norm_uv * f0/f1.
+                ratio = float(np.exp(fscale[k]))
+                self.focal[iid] *= ratio
+                self.norm_uv[iid] = self.norm_uv[iid] / ratio
         for pid, k in pt_index.items():
             self.points[pid] = X[k]
 

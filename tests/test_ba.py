@@ -53,7 +53,7 @@ def test_ba_reduces_cost_and_recovers_geometry():
     prob = _problem_from_scene(scene, rng, fix=(0, 1))
 
     R0, t0 = prob.R.copy(), prob.t.copy()
-    R, t, X, cost = ba.run_ba(prob, iterations=40)
+    R, t, fs, X, cost = ba.run_ba(prob, iterations=40)
 
     # Final mean reprojection error must be tiny (perfect synthetic data).
     n_obs = prob.obs_cam.shape[0]
@@ -75,7 +75,7 @@ def test_ba_with_noisy_observations():
     rng = np.random.default_rng(1)
     scene = synthetic.random_scene(rng, num_points=60, num_cameras=3, noise_px=0.5)
     prob = _problem_from_scene(scene, rng, cam_noise=0.005, pt_noise=0.01, fix=(0, 1))
-    _, _, _, cost = ba.run_ba(prob, iterations=30)
+    _, _, _, _, cost = ba.run_ba(prob, iterations=30)
     n_obs = prob.obs_cam.shape[0]
     rms = np.sqrt(2 * cost / n_obs)
     assert rms < 1.5  # should settle near the 0.5px noise floor
@@ -96,3 +96,22 @@ def test_so3_exp_properties():
         [[0, -w_small[2], w_small[1]], [w_small[2], 0, -w_small[0]], [-w_small[1], w_small[0], 0]]
     )
     np.testing.assert_allclose(R_small, np.eye(3) + K, atol=1e-7)
+
+
+def test_ba_focal_refinement():
+    """A global focal error on free cameras is absorbed by log-scale refinement."""
+    rng = np.random.default_rng(3)
+    scene = synthetic.random_scene(rng, num_points=80, num_cameras=4)
+    prob = _problem_from_scene(scene, rng, cam_noise=0.0, pt_noise=0.0, fix=(0, 1))
+    # Corrupt the focal of cameras 2 and 3 by 3%: observations were made at
+    # f, but we claim f*1.03 -> normalized obs shrink by 1/1.03.
+    bad = np.isin(prob.obs_cam, [2, 3])
+    prob.obs_uv[bad] /= 1.03
+    prob.refine_focal = True
+    R, t, fs, X, cost = ba.run_ba(prob, iterations=40)
+    n_obs = prob.obs_cam.shape[0]
+    rms = np.sqrt(2 * cost / n_obs)
+    assert rms < 0.2, rms
+    # Recovered scales: ~1/1.03 on the corrupted cameras, ~1 on fixed ones.
+    np.testing.assert_allclose(np.exp(fs[2:]), 1 / 1.03, rtol=0.01)
+    np.testing.assert_allclose(fs[:2], 0.0, atol=1e-12)
