@@ -229,8 +229,12 @@ class IncrementalMapper:
     # ------------------------------------------------------------------
 
     def _triangulate_new(self, iid: int) -> int:
-        """Create points from matches between iid and registered images."""
-        new = 0
+        """Create points from matches between iid and registered images.
+
+        All candidate pairs triangulate in ONE batched DLT call; gating
+        (finiteness, reprojection, angle) is vectorized, and only the
+        final feature-assignment conflict resolution is sequential.
+        """
         cands: List[Tuple[int, int, int]] = []  # (feat, oid, ofeat)
         for feat, others in self.corr[iid].items():
             if feat in self.pid_of[iid]:
@@ -241,38 +245,65 @@ class IncrementalMapper:
         if not cands:
             return 0
 
+        feats = np.array([c[0] for c in cands])
+        oids = np.array([c[1] for c in cands])
+        ofeats = np.array([c[2] for c in cands])
+        n = len(cands)
+
         P1 = np.concatenate([self.R[iid], self.t[iid][:, None]], axis=1)
-        for feat, oid, ofeat in cands:
-            if feat in self.pid_of[iid] or ofeat in self.pid_of[oid]:
-                continue
-            P2 = np.concatenate([self.R[oid], self.t[oid][:, None]], axis=1)
-            P = np.stack([P1, P2])[None]
-            uv = np.stack([self.norm_uv[iid][feat], self.norm_uv[oid][ofeat]])[None]
-            X = np.asarray(
-                geometry.triangulate_dlt_batch(
-                    jnp.asarray(P), jnp.asarray(uv), np.ones((1, 2), bool)
-                )
-            )[0]
-            if not np.isfinite(X).all():
-                continue
-            e1 = self._reproj_err(iid, X, feat)
-            e2 = self._reproj_err(oid, X, ofeat)
-            if max(e1, e2) > self.opt.max_reproj_error_px:
-                continue
-            c1 = -self.R[iid].T @ self.t[iid]
-            c2 = -self.R[oid].T @ self.t[oid]
-            ang = float(
-                np.asarray(
-                    geometry.triangulation_angles(
-                        jnp.asarray(X[None]), jnp.asarray(c1), jnp.asarray(c2)
-                    )
-                )[0]
+        P2 = np.stack(
+            [np.concatenate([self.R[o], self.t[o][:, None]], axis=1) for o in oids]
+        )
+        P = np.stack([np.tile(P1, (n, 1, 1)), P2], axis=1)
+        uv = np.stack(
+            [
+                self.norm_uv[iid][feats],
+                np.stack([self.norm_uv[o][f] for o, f in zip(oids, ofeats)]),
+            ],
+            axis=1,
+        )
+        X = np.asarray(
+            geometry.triangulate_dlt_batch(
+                jnp.asarray(P), jnp.asarray(uv), jnp.ones((n, 2), bool)
             )
-            if ang < np.deg2rad(self.opt.min_tri_angle_deg):
+        )
+
+        # Vectorized gating.
+        ok = np.isfinite(X).all(axis=1)
+        c1 = (X @ self.R[iid].T + self.t[iid])
+        z1 = c1[:, 2]
+        proj1 = c1[:, :2] / np.where(np.abs(z1[:, None]) < 1e-12, 1e-12, z1[:, None])
+        e1 = np.linalg.norm(proj1 - self.norm_uv[iid][feats], axis=1) * self.focal[iid]
+        Ro = np.stack([self.R[o] for o in oids])
+        to = np.stack([self.t[o] for o in oids])
+        c2 = np.einsum("nab,nb->na", Ro, X) + to
+        z2 = c2[:, 2]
+        proj2 = c2[:, :2] / np.where(np.abs(z2[:, None]) < 1e-12, 1e-12, z2[:, None])
+        uv2 = np.stack([self.norm_uv[o][f] for o, f in zip(oids, ofeats)])
+        f2 = np.array([self.focal[o] for o in oids])
+        e2 = np.linalg.norm(proj2 - uv2, axis=1) * f2
+        ok &= (z1 > 0) & (z2 > 0)
+        ok &= np.maximum(e1, e2) <= self.opt.max_reproj_error_px
+
+        center1 = -self.R[iid].T @ self.t[iid]
+        centers2 = -np.einsum("nba,nb->na", Ro, to)
+        d1 = X - center1
+        d2 = X - centers2
+        cosang = np.sum(d1 * d2, axis=1) / np.maximum(
+            np.linalg.norm(d1, axis=1) * np.linalg.norm(d2, axis=1), 1e-12
+        )
+        ang = np.arccos(np.clip(cosang, -1, 1))
+        ok &= ang >= np.deg2rad(self.opt.min_tri_angle_deg)
+
+        # Sequential conflict resolution (one point per feature).
+        new = 0
+        for k in np.nonzero(ok)[0]:
+            feat, oid, ofeat = int(feats[k]), int(oids[k]), int(ofeats[k])
+            if feat in self.pid_of[iid] or ofeat in self.pid_of[oid]:
                 continue
             pid = self.next_pid
             self.next_pid += 1
-            self.points[pid] = X
+            self.points[pid] = X[k]
             self.track[pid] = [(iid, feat), (oid, ofeat)]
             self.pid_of[iid][feat] = pid
             self.pid_of[oid][ofeat] = pid

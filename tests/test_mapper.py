@@ -73,3 +73,19 @@ def test_mapper_reconstructs_synthetic_scene(tmp_path):
         for b in range(a + 1, len(names)):
             ratio = d(centers, names[a], names[b]) / max(d(gt_centers, names[a], names[b]), 1e-12)
             np.testing.assert_allclose(ratio, base, rtol=0.08)
+
+
+def test_mapper_scales_to_more_cameras(tmp_path):
+    """8-camera scene with noise: registration + accuracy should hold."""
+    from test_sfm import _scene_to_db_and_model
+
+    from lfr_tpu.sfm import mapper
+
+    rng = np.random.default_rng(9)
+    scene = synthetic.random_scene(rng, num_points=250, num_cameras=8, noise_px=0.4)
+    db, _ = _scene_to_db_and_model(scene, tmp_path, noise=0.4, seed=9)
+    model, stats = mapper.reconstruct(db, verbose=False)
+    assert model is not None
+    assert stats["num_reg_images"] == 8
+    assert stats["num_sparse_points"] > 150
+    assert stats["mean_reproj_error"] < 1.0
