@@ -17,6 +17,7 @@ from typing import Optional
 from ..config import get_method
 from ..io import protos
 from ..solver import solve as solve_mod
+from ..utils import timing
 from . import match_graph as mg_mod
 from . import triangulation as tri_pipeline
 
@@ -54,26 +55,30 @@ def run_eth(
         kwargs = {"batch_size": batch_size} if batch_size else {}
         refiner = TwoViewRefiner(variables=variables, **kwargs)
 
-    mg_mod.compute_match_graph(
-        os.path.join(dataset_path, "images"),
-        os.path.join(dataset_path, "match-list.txt"),
-        method,
-        matches_file,
-        refiner=refiner,
-        skip_refinement=skip_refinement,
-        progress=verbose,
-    )
+    spans = timing.Spans()
+    with spans.span("match_graph"):
+        mg_mod.compute_match_graph(
+            os.path.join(dataset_path, "images"),
+            os.path.join(dataset_path, "match-list.txt"),
+            method,
+            matches_file,
+            refiner=refiner,
+            skip_refinement=skip_refinement,
+            progress=verbose,
+        )
 
     # Multi-view solve.
     if not skip_refinement:
-        solve_mod.solve_file(matches_file, solution_file, verbose=verbose)
+        with spans.span("solve"):
+            solve_mod.solve_file(matches_file, solution_file, verbose=verbose)
 
     results = {}
     runs = [("raw", None)] if skip_refinement else [("ref", solution_file), ("raw", None)]
     for tag, sol in runs:
-        stats = tri_pipeline.triangulation_pipeline(
-            dataset_path, method_name, matches_file, sol, verbose=verbose
-        )
+        with spans.span(f"triangulation_{tag}"):
+            stats = tri_pipeline.triangulation_pipeline(
+                dataset_path, method_name, matches_file, sol, verbose=verbose
+            )
         results[tag] = stats
         ply = os.path.join(dataset_path, f"sparse-{method_name}-{tag}.ply")
         if evaluate and os.path.exists(scan_file):
@@ -85,6 +90,7 @@ def run_eth(
             with open(out_txt, "w") as fh:
                 fh.write(eth3d.format_results(ev))
 
+    results["timing"] = spans.report()
     with open(
         os.path.join(output_path, f"{method_name}-{dataset_name}-stats.json"), "w"
     ) as fh:

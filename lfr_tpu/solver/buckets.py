@@ -38,11 +38,13 @@ def pack_components(
     tracks: Tracks,
     component_idx: np.ndarray,
     max_batch_elems: int = 1 << 24,
+    max_batch_edges: int = 1 << 18,
 ) -> PackedBuckets:
     """Group non-singleton components into padded ComponentBatches.
 
-    ``max_batch_elems`` caps B * (2N)^2 per batch to bound the dense normal
-    equations' memory.
+    ``max_batch_elems`` caps B * (2N)^2 (dense normal equations) and
+    ``max_batch_edges`` caps B * E (per-edge Jacobian temporaries) per
+    batch, bounding the solver's peak HBM.
     """
     n_nodes = graph.num_nodes
     if n_nodes == 0:
@@ -93,7 +95,13 @@ def pack_components(
         e_bucket = _next_pow2(
             max(int(edge_ends[c] - edge_starts[c]) for c in comps), floor=2
         )
-        max_b = max(1, int(max_batch_elems // max((2 * n_bucket) ** 2, 1)))
+        max_b = max(
+            1,
+            min(
+                int(max_batch_elems // max((2 * n_bucket) ** 2, 1)),
+                int(max_batch_edges // max(e_bucket, 1)),
+            ),
+        )
         for chunk_start in range(0, len(comps), max_b):
             chunk = comps[chunk_start : chunk_start + max_b]
             b = len(chunk)
