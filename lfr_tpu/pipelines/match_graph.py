@@ -43,6 +43,8 @@ def compute_match_graph(
     full pipeline with identity refinement — the reference's
     SKIP_REFINEMENT debug path (reference: compute_match_graph.py:28,150-159).
     """
+    import concurrent.futures
+
     pairs = match_list_io.read_match_list(match_list_file)
     if refiner is None and not skip_refinement:
         refiner = TwoViewRefiner(batch_size=batch_size)
@@ -54,6 +56,24 @@ def compute_match_graph(
     image1 = None
     fact1 = 1.0
     t0 = time.time()
+
+    def _load(name):
+        image, fact = images_io.load_and_downscale(
+            os.path.join(image_path, name), method.max_edge, method.max_sum_edges
+        )
+        feats = features_io.load_features(os.path.join(image_path, name), method.name)
+        return image, fact, feats
+
+    # Image decode + feature IO overlaps device compute: the next pair's
+    # second image prefetches while the current pair refines.
+    pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
+    prefetched = {}
+
+    def _get(name):
+        fut = prefetched.pop(name, None)
+        if fut is not None:
+            return fut.result()
+        return _load(name)
 
     def _flush(final: bool) -> None:
         nonlocal part_idx, out_pairs
@@ -67,18 +87,16 @@ def compute_match_graph(
             written.append(path)
         out_pairs = []
 
+    feats1 = None
     for pair_idx, (name1, name2) in enumerate(pairs):
         if name1 != cached_name1:
             cached_name1 = name1
-            image1, fact1 = images_io.load_and_downscale(
-                os.path.join(image_path, name1), method.max_edge, method.max_sum_edges
-            )
-        image2, fact2 = images_io.load_and_downscale(
-            os.path.join(image_path, name2), method.max_edge, method.max_sum_edges
-        )
-
-        feats1 = features_io.load_features(os.path.join(image_path, name1), method.name)
-        feats2 = features_io.load_features(os.path.join(image_path, name2), method.name)
+            image1, fact1, feats1 = _get(name1)
+        image2, fact2, feats2 = _get(name2)
+        if pair_idx + 1 < len(pairs):
+            nxt = pairs[pair_idx + 1][1]
+            if nxt not in prefetched:
+                prefetched[nxt] = pool.submit(_load, nxt)
 
         if feats1.num_features > 0 and feats2.num_features > 0:
             # Keypoints live at original resolution; bring them to the
@@ -124,6 +142,7 @@ def compute_match_graph(
         if pair_idx % dump_interval == dump_interval - 1:
             _flush(final=False)
 
+    pool.shutdown(wait=False)
     _flush(final=part_idx == -1)
     return written
 
