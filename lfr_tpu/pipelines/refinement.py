@@ -51,15 +51,56 @@ def pad_image(image: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return out, np.array([h, w], dtype=np.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("margin", "bucket_h", "bucket_w"))
+def _prep_image(raw, margin: int, bucket_h: int, bucket_w: int):
+    """Reflect-pad + bucket-pad on device (raw uint8 in, float32 out)."""
+    reflected = jnp.pad(
+        raw.astype(jnp.float32),
+        ((margin, margin), (margin, margin), (0, 0)),
+        mode="reflect",
+    )
+    out = jnp.zeros((bucket_h, bucket_w, 3), jnp.float32)
+    return out.at[: reflected.shape[0], : reflected.shape[1]].set(reflected)
+
+
+@functools.partial(jax.jit, static_argnames=("margin", "bucket_h", "bucket_w"))
+def _prep_image_up(raw, margin: int, bucket_h: int, bucket_w: int):
+    """2x Gaussian upsample + reflect/bucket pad, all on device."""
+    from ..ops.image_ops import pyr_up
+
+    up = pyr_up(raw.astype(jnp.float32))
+    reflected = jnp.pad(
+        up, ((margin, margin), (margin, margin), (0, 0)), mode="reflect"
+    )
+    out = jnp.zeros((bucket_h, bucket_w, 3), jnp.float32)
+    return out.at[: reflected.shape[0], : reflected.shape[1]].set(reflected)
+
+
+def _bucket_dims(h: int, w: int, margin: int):
+    ph = -(-(h + 2 * margin) // IMAGE_BUCKET) * IMAGE_BUCKET
+    pw = -(-(w + 2 * margin) // IMAGE_BUCKET) * IMAGE_BUCKET
+    return ph, pw
+
+
 class _DeviceImage:
     """An image reflect-padded + bucket-padded on device, with the margin
-    offset to translate image coordinates into padded coordinates."""
+    offset translating image coordinates into padded coordinates.
 
-    def __init__(self, image: np.ndarray):
-        margin = effective_margin(image)
-        reflected = reflect_pad_image(image)
-        padded, _ = pad_image(reflected)
-        self.array = jnp.asarray(padded)
+    Only the raw uint8 image crosses the host-device link; padding (and the
+    2x pyramid level for the fine pass) computes on device.
+    """
+
+    def __init__(self, image: np.ndarray, upsample: bool = False):
+        h, w = image.shape[:2]
+        if upsample:
+            h, w = 2 * h, 2 * w
+        margin = int(min(REFLECT_MARGIN, h - 1, w - 1))
+        ph, pw = _bucket_dims(h, w, margin)
+        raw = jnp.asarray(np.ascontiguousarray(image))
+        if upsample:
+            self.array = _prep_image_up(raw, margin, ph, pw)
+        else:
+            self.array = _prep_image(raw, margin, ph, pw)
         self.offset = float(margin)
 
 
@@ -154,8 +195,6 @@ class TwoViewRefiner:
         Returns (grid12, grid21): (N, 3, 3, 2) flow grids in displacement
         units (1 unit = 16 px), sampled at +-8 px around the source keypoint.
         """
-        from ..io.images import pyr_up
-
         if matches.shape[0] == 0:
             z = np.zeros((0, 3, 3, 2), dtype=np.float32)
             return z, z
@@ -165,13 +204,13 @@ class TwoViewRefiner:
 
         d_img1 = _DeviceImage(image1)
         d_img2 = _DeviceImage(image2)
+        # Dispatch the 2x pyramid levels for the fine pass up front: they
+        # compute on device, overlapping with the coarse stage.
+        d_up1 = _DeviceImage(image1, upsample=True)
+        d_up2 = _DeviceImage(image2, upsample=True)
 
         # Coarse: symmetric, single center, octave 0.
         coarse12, coarse21 = self._run_chunked(d_img1, d_img2, ij1, ij2, sym=True)
-
-        # Fine: 2x-upsampled images, re-centered targets, octave -1.
-        d_up1 = _DeviceImage(pyr_up(image1))
-        d_up2 = _DeviceImage(pyr_up(image2))
 
         fine12 = self._fine_direction(
             d_up1,
