@@ -366,6 +366,28 @@ class IncrementalMapper:
         for pid, k in pt_index.items():
             self.points[pid] = X[k]
 
+    def _complete_tracks(self) -> int:
+        """Attach unassigned features of registered images to existing
+        points they match (COLMAP's track-completion role)."""
+        added = 0
+        for iid in self.registered:
+            for feat, others in self.corr[iid].items():
+                if feat in self.pid_of[iid]:
+                    continue
+                counts: Dict[int, int] = {}
+                for oid, ofeat in others:
+                    pid = self.pid_of.get(oid, {}).get(ofeat)
+                    if pid is not None and pid in self.points:
+                        counts[pid] = counts.get(pid, 0) + 1
+                if not counts:
+                    continue
+                pid = max(counts, key=counts.get)
+                if self._reproj_err(iid, self.points[pid], feat) <= self.opt.max_reproj_error_px:
+                    self.pid_of[iid][feat] = pid
+                    self.track[pid].append((iid, feat))
+                    added += 1
+        return added
+
     def _filter_points(self) -> int:
         removed = 0
         for pid in list(self.points):
@@ -421,6 +443,7 @@ class IncrementalMapper:
                     f"[mapper] registered {self.image_info[iid]} "
                     f"({len(self.registered)}/{len(self.image_info)}), +{n_new} points"
                 )
+        self._complete_tracks()
         self._run_ba(fix_first_two=True)
         self._filter_points()
 
