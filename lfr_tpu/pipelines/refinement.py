@@ -82,6 +82,23 @@ def _bucket_dims(h: int, w: int, margin: int):
     return ph, pw
 
 
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _extend(arr, h: int, w: int):
+    out = jnp.zeros((h, w, arr.shape[2]), arr.dtype)
+    return out.at[: arr.shape[0], : arr.shape[1]].set(arr)
+
+
+def _harmonize(a: "_DeviceImage", b: "_DeviceImage"):
+    """Zero-extend two device images to a shared bucket shape (the fused
+    fine program selects between them with jnp.where, which needs equal
+    shapes; the extension region is never sampled thanks to window clamps)."""
+    h = max(a.array.shape[0], b.array.shape[0])
+    w = max(a.array.shape[1], b.array.shape[1])
+    arr_a = a.array if a.array.shape[:2] == (h, w) else _extend(a.array, h, w)
+    arr_b = b.array if b.array.shape[:2] == (h, w) else _extend(b.array, h, w)
+    return arr_a, arr_b
+
+
 class _DeviceImage:
     """An image reflect-padded + bucket-padded on device, with the margin
     offset translating image coordinates into padded coordinates.
@@ -131,6 +148,44 @@ class TwoViewRefiner:
             return self.model.apply(variables, p1, p2)
 
         self._patch_cnn = _patch_cnn
+        self._patch_cnn_original = _patch_cnn
+
+        @jax.jit
+        def _fine_both(variables, up1, up2, ij1, ij2, c12, c21, off1, off2):
+            """Both fine directions as one program: lax.scan over the
+            2x9 (direction, grid offset) combinations, asym CNN per step.
+
+            ij*: (N, 2) original-scale centers; off*: per-image margin
+            offsets of the upsampled device images.
+            """
+            offsets = jnp.asarray(_grid_offsets(octave=-1.0), jnp.float32)  # (9, 2)
+            src12 = 2.0 * ij1 + off1
+            tgt12 = 2.0 * (ij2 + c12 * DISPLACEMENT_UNIT_PX) + off2
+            src21 = 2.0 * ij2 + off2
+            tgt21 = 2.0 * (ij1 + c21 * DISPLACEMENT_UNIT_PX) + off1
+
+            def step(_, inputs):
+                direction, off = inputs
+                src = jnp.where(direction == 0, src12, src21) + off
+                tgt = jnp.where(direction == 0, tgt12, tgt21) + off
+                src_img = jnp.where(direction == 0, up1, up2)
+                tgt_img = jnp.where(direction == 0, up2, up1)
+                ps = panet.normalize_patches(
+                    extract_patches_separable(src_img, src, PATCH_SIZE)
+                )
+                pt = panet.normalize_patches(
+                    extract_patches_separable(tgt_img, tgt, PATCH_SIZE)
+                )
+                return None, self.model.apply(variables, ps, pt)
+
+            dirs = jnp.repeat(jnp.arange(2), 9)
+            offs = jnp.tile(offsets, (2, 1))
+            _, disp = jax.lax.scan(step, None, (dirs, offs))  # (18, N, 2)
+            fine12 = jnp.transpose(disp[:9], (1, 0, 2)).reshape(-1, 3, 3, 2)
+            fine21 = jnp.transpose(disp[9:], (1, 0, 2)).reshape(-1, 3, 3, 2)
+            return fine12, fine21
+
+        self._fine_both = _fine_both
 
     # ------------------------------------------------------------------
 
@@ -212,18 +267,52 @@ class TwoViewRefiner:
         # Coarse: symmetric, single center, octave 0.
         coarse12, coarse21 = self._run_chunked(d_img1, d_img2, ij1, ij2, sym=True)
 
-        fine12 = self._fine_direction(
-            d_up1,
-            d_up2,
-            2.0 * ij1,
-            2.0 * (ij2 + coarse12 * DISPLACEMENT_UNIT_PX),
-        )
-        fine21 = self._fine_direction(
-            d_up2,
-            d_up1,
-            2.0 * ij2,
-            2.0 * (ij1 + coarse21 * DISPLACEMENT_UNIT_PX),
-        )
+        # When a test injects a custom patch CNN, keep the chunked path so
+        # the injected model drives the fine stage too.
+        if self._patch_cnn is not self._patch_cnn_original:
+            fine12 = self._fine_direction(
+                d_up1, d_up2, 2.0 * ij1, 2.0 * (ij2 + coarse12 * DISPLACEMENT_UNIT_PX)
+            )
+            fine21 = self._fine_direction(
+                d_up2, d_up1, 2.0 * ij2, 2.0 * (ij1 + coarse21 * DISPLACEMENT_UNIT_PX)
+            )
+            grid12 = coarse12[:, None, None] + 0.5 * fine12
+            grid21 = coarse21[:, None, None] + 0.5 * fine21
+            return grid12.astype(np.float32), grid21.astype(np.float32)
+
+        # Fused fine stage: one program per match chunk covers both
+        # directions and all 9 grid offsets.
+        up1_arr, up2_arr = _harmonize(d_up1, d_up2)
+        n = ij1.shape[0]
+        bs = self.batch_size
+        f12_parts, f21_parts = [], []
+        for start in range(0, n, bs):
+
+            def _pad(x, fill=0.0):
+                chunk = x[start : start + bs]
+                pad = bs - chunk.shape[0]
+                if pad:
+                    chunk = np.concatenate(
+                        [chunk, np.full((pad,) + chunk.shape[1:], fill, chunk.dtype)]
+                    )
+                return jnp.asarray(chunk, jnp.float32)
+
+            out12, out21 = self._fine_both(
+                self.variables,
+                up1_arr,
+                up2_arr,
+                _pad(ij1),
+                _pad(ij2),
+                _pad(coarse12),
+                _pad(coarse21),
+                jnp.float32(d_up1.offset),
+                jnp.float32(d_up2.offset),
+            )
+            take = min(bs, n - start)
+            f12_parts.append((out12, take))
+            f21_parts.append((out21, take))
+        fine12 = np.concatenate([np.asarray(o[:k]) for o, k in f12_parts])
+        fine21 = np.concatenate([np.asarray(o[:k]) for o, k in f21_parts])
 
         grid12 = coarse12[:, None, None] + 0.5 * fine12
         grid21 = coarse21[:, None, None] + 0.5 * fine21
