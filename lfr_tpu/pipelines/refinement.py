@@ -187,6 +187,31 @@ class TwoViewRefiner:
 
         self._fine_both = _fine_both
 
+        @jax.jit
+        def _refine_full(
+            variables, im1, im2, up1, up2, ij1, ij2, o1, o2, ou1, ou2
+        ):
+            """The whole coarse-to-fine refinement as ONE device program:
+            symmetric coarse pass feeds the scanned fine stage without any
+            host round-trip."""
+            p1 = panet.normalize_patches(
+                extract_patches_separable(im1, ij1 + o1, PATCH_SIZE)
+            )
+            p2 = panet.normalize_patches(
+                extract_patches_separable(im2, ij2 + o2, PATCH_SIZE)
+            )
+            c12, c21 = self.model.apply(
+                variables, p1, p2, method=panet.PANet.forward_sym
+            )
+            fine12, fine21 = _fine_both(
+                variables, up1, up2, ij1, ij2, c12, c21, ou1, ou2
+            )
+            grid12 = c12[:, None, None] + 0.5 * fine12
+            grid21 = c21[:, None, None] + 0.5 * fine21
+            return grid12, grid21
+
+        self._refine_full = _refine_full
+
     # ------------------------------------------------------------------
 
     def _run_chunked(self, img1: _DeviceImage, img2: _DeviceImage, ij1, ij2, sym: bool):
@@ -264,12 +289,10 @@ class TwoViewRefiner:
         d_up1 = _DeviceImage(image1, upsample=True)
         d_up2 = _DeviceImage(image2, upsample=True)
 
-        # Coarse: symmetric, single center, octave 0.
-        coarse12, coarse21 = self._run_chunked(d_img1, d_img2, ij1, ij2, sym=True)
-
         # When a test injects a custom patch CNN, keep the chunked path so
-        # the injected model drives the fine stage too.
+        # the injected model drives both stages.
         if self._patch_cnn is not self._patch_cnn_original:
+            coarse12, coarse21 = self._run_chunked(d_img1, d_img2, ij1, ij2, sym=True)
             fine12 = self._fine_direction(
                 d_up1, d_up2, 2.0 * ij1, 2.0 * (ij2 + coarse12 * DISPLACEMENT_UNIT_PX)
             )
@@ -280,40 +303,37 @@ class TwoViewRefiner:
             grid21 = coarse21[:, None, None] + 0.5 * fine21
             return grid12.astype(np.float32), grid21.astype(np.float32)
 
-        # Fused fine stage: one program per match chunk covers both
-        # directions and all 9 grid offsets.
+        # Fully fused path: one device program per match chunk runs the
+        # coarse pass and both 9-offset fine directions.
         up1_arr, up2_arr = _harmonize(d_up1, d_up2)
         n = ij1.shape[0]
         bs = self.batch_size
-        f12_parts, f21_parts = [], []
+        parts = []
         for start in range(0, n, bs):
 
-            def _pad(x, fill=0.0):
+            def _pad(x):
                 chunk = x[start : start + bs]
                 pad = bs - chunk.shape[0]
                 if pad:
                     chunk = np.concatenate(
-                        [chunk, np.full((pad,) + chunk.shape[1:], fill, chunk.dtype)]
+                        [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
                     )
                 return jnp.asarray(chunk, jnp.float32)
 
-            out12, out21 = self._fine_both(
+            out12, out21 = self._refine_full(
                 self.variables,
+                d_img1.array,
+                d_img2.array,
                 up1_arr,
                 up2_arr,
                 _pad(ij1),
                 _pad(ij2),
-                _pad(coarse12),
-                _pad(coarse21),
+                jnp.float32(d_img1.offset),
+                jnp.float32(d_img2.offset),
                 jnp.float32(d_up1.offset),
                 jnp.float32(d_up2.offset),
             )
-            take = min(bs, n - start)
-            f12_parts.append((out12, take))
-            f21_parts.append((out21, take))
-        fine12 = np.concatenate([np.asarray(o[:k]) for o, k in f12_parts])
-        fine21 = np.concatenate([np.asarray(o[:k]) for o, k in f21_parts])
-
-        grid12 = coarse12[:, None, None] + 0.5 * fine12
-        grid21 = coarse21[:, None, None] + 0.5 * fine21
+            parts.append((out12, out21, min(bs, n - start)))
+        grid12 = np.concatenate([np.asarray(o[:k]) for o, _, k in parts])
+        grid21 = np.concatenate([np.asarray(o[:k]) for _, o, k in parts])
         return grid12.astype(np.float32), grid21.astype(np.float32)
