@@ -109,3 +109,24 @@ def test_compare_restriction():
     raw_stats, ref_stats = compare_reconstructions(raw, ref)
     assert raw_stats["num_reg_images"] <= 2
     assert ref_stats["num_reg_images"] <= 2
+
+
+def test_create_db_eth(tmp_path):
+    from lfr_tpu.io import colmap_db
+    from lfr_tpu.pipelines import dataset_tools
+
+    rng = np.random.default_rng(5)
+    scene = synthetic.random_scene(rng, num_points=30, num_cameras=3)
+    root = str(tmp_path / "eth")
+    synthetic.make_eth3d_dataset(root, scene, rng)
+    os.remove(os.path.join(root, "database.db"))
+
+    path = dataset_tools.create_starting_database_eth(root)
+    with colmap_db.ColmapDatabase(path) as db:
+        images = db.image_ids()
+        assert len(images) == 3
+        cams = db.cameras()
+        assert len(cams) == 1
+        cam = next(iter(cams.values()))
+        assert colmap_db.CAMERA_MODEL_NAMES[cam["model"]] == "PINHOLE"
+        assert cam["prior_focal_length"]
