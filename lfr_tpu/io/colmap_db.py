@@ -9,7 +9,7 @@ on-disk schema, so databases remain interchangeable with COLMAP tooling.
 from __future__ import annotations
 
 import sqlite3
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
 

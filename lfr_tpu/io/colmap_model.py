@@ -10,11 +10,10 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
-from .colmap_db import CAMERA_MODEL_NAMES, CAMERA_MODELS
 
 
 @dataclasses.dataclass

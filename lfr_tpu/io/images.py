@@ -9,7 +9,7 @@ live in lfr_tpu.ops.image_ops.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

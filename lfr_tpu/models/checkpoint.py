@@ -10,7 +10,6 @@ from typing import Dict
 
 import flax.serialization
 import jax
-import jax.numpy as jnp
 
 from . import panet
 

@@ -12,9 +12,7 @@ the warped-patch objective of the underlying paper.
 
 from __future__ import annotations
 
-import dataclasses
-import functools
-from typing import Iterator, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

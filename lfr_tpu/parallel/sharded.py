@@ -11,14 +11,13 @@ partitioner made components independent).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models import panet, train as train_mod
+from ..models import train as train_mod
 from ..solver.lm import ComponentBatch, solve_component_batch
 from . import mesh as mesh_mod
 

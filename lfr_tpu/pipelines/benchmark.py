@@ -15,7 +15,6 @@ import os
 from typing import Optional
 
 from ..config import get_method
-from ..io import protos
 from ..solver import solve as solve_mod
 from ..utils import timing
 from . import match_graph as mg_mod

@@ -12,7 +12,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict
 
 import numpy as np
 

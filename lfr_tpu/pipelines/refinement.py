@@ -18,7 +18,7 @@ TPU-first differences from the reference:
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +26,7 @@ import numpy as np
 
 from ..config import DEFAULT_BATCH_SIZE, DISPLACEMENT_UNIT_PX, GRID_OFFSET_PX, PATCH_SIZE
 from ..models import panet
-from ..ops.patches import REFLECT_MARGIN, effective_margin, extract_patches_separable, reflect_pad_image
+from ..ops.patches import REFLECT_MARGIN, extract_patches_separable
 
 #: Image dims are padded up to multiples of this (keeps the jit cache small).
 IMAGE_BUCKET = 256

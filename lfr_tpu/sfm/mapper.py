@@ -14,7 +14,7 @@ reference's triangulation benchmark also fixes them, colmap_utils.py:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Set, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

@@ -9,7 +9,7 @@ bucket list is the unit that shards across devices.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 

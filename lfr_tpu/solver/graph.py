@@ -15,7 +15,7 @@ image 2 (``disp2``, i.e. the 1->2 grids) and the edge 2->1 carries
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Set, Tuple
+from typing import Dict, List, Optional, Sequence, Set
 
 import numpy as np
 

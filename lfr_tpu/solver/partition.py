@@ -15,7 +15,6 @@ components) is what shards the device solve across chips.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import numpy as np
 import scipy.sparse as sp

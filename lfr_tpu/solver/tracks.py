@@ -13,7 +13,6 @@ loop, optionally replaced by the C++ native kernel when built).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
 
 import numpy as np
 

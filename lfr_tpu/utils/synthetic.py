@@ -9,7 +9,7 @@ scenes with known poses for SfM validation.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
