@@ -82,3 +82,62 @@ def sharded_solve_batch(batch: ComponentBatch, mesh: Mesh, max_iter: int = 25) -
         esrc, edst, esim, eflow, eintra, evalid, root, nvalid, max_iter=max_iter
     )
     return np.asarray(out)[:b]
+
+
+def run_ba_sharded(problem, mesh: Mesh, iterations: int = 30):
+    """Bundle adjustment with observations sharded over the mesh.
+
+    The O-heavy work — per-observation residuals/Jacobians and their
+    segment-sums into camera/point blocks — partitions along the
+    observation axis; GSPMD inserts the cross-device reductions
+    (psum-style collectives) when assembling the reduced camera system.
+    Cameras/points stay replicated (they are tiny next to observations).
+    """
+    import jax
+
+    from ..sfm import ba as ba_mod
+
+    n_cameras = problem.R.shape[0]
+    n_points = problem.points.shape[0]
+    pt_idx, pt_valid = ba_mod._group_by_point(problem.obs_pt, n_points)
+    fscale0 = problem.fscale if problem.fscale is not None else np.zeros(n_cameras)
+
+    n_dev = mesh.devices.size
+    obs_shard = NamedSharding(mesh, P(("dp", "mp")))
+    rep = NamedSharding(mesh, P())
+
+    def put_obs(x):
+        # Padded rows point at camera/point 0 but carry zero focal below,
+        # which zeroes their residuals and Jacobians.
+        padded, orig = mesh_mod.pad_to_multiple(np.asarray(x), n_dev, axis=0)
+        return jax.device_put(padded, obs_shard), orig
+
+    obs_cam, n_obs = put_obs(problem.obs_cam)
+    obs_pt, _ = put_obs(problem.obs_pt)
+    obs_uv, _ = put_obs(problem.obs_uv)
+    # Zero focal on padding rows nullifies their contribution.
+    focal_padded, _ = mesh_mod.pad_to_multiple(np.asarray(problem.obs_focal), n_dev, axis=0)
+    obs_focal = jax.device_put(focal_padded, obs_shard)
+
+    R, t, fscale, X, cost = ba_mod.ba_iterate(
+        jax.device_put(jnp.asarray(problem.R), rep),
+        jax.device_put(jnp.asarray(problem.t), rep),
+        jax.device_put(jnp.asarray(fscale0, dtype=jnp.float32), rep),
+        jax.device_put(jnp.asarray(problem.points), rep),
+        obs_cam,
+        obs_pt,
+        obs_uv,
+        obs_focal,
+        jax.device_put(jnp.asarray(ba_mod._free_mask(problem)), rep),
+        jax.device_put(jnp.asarray(pt_idx), rep),
+        jax.device_put(jnp.asarray(pt_valid), rep),
+        n_cameras=n_cameras,
+        iterations=iterations,
+    )
+    return (
+        np.asarray(R),
+        np.asarray(t),
+        np.asarray(fscale),
+        np.asarray(X),
+        float(cost),
+    )

@@ -76,3 +76,25 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     assert out[0].shape == (64, 2) and out[1].shape == (64, 2)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_ba_matches_local():
+    from test_ba import _problem_from_scene
+
+    from lfr_tpu.parallel import sharded
+    from lfr_tpu.sfm import ba
+    from lfr_tpu.utils import synthetic
+
+    rng = np.random.default_rng(5)
+    scene = synthetic.random_scene(rng, num_points=60, num_cameras=4)
+    prob = _problem_from_scene(scene, rng, fix=(0, 1))
+    R_l, t_l, fs_l, X_l, cost_l = ba.run_ba(prob, iterations=25)
+
+    mesh = mesh_mod.make_mesh(8)
+    R_s, t_s, fs_s, X_s, cost_s = sharded.run_ba_sharded(prob, mesh, iterations=25)
+    # Sharded reductions change summation order; agreement is approximate
+    # but the solutions must coincide.
+    np.testing.assert_allclose(R_s, R_l, atol=1e-4)
+    np.testing.assert_allclose(X_s, X_l, atol=1e-3)
+    # Noiseless data converges to ~machine-zero cost on both paths.
+    np.testing.assert_allclose(cost_s, cost_l, rtol=1e-3, atol=1e-6)
