@@ -52,6 +52,15 @@ def extract_doh(
     """
     if image.ndim == 3:
         image = image @ np.array([0.299, 0.587, 0.114])
+    true_h, true_w = image.shape
+    pad_h = -(-true_h // sift_mod.SIFT_IMAGE_BUCKET) * sift_mod.SIFT_IMAGE_BUCKET - true_h
+    pad_w = -(-true_w // sift_mod.SIFT_IMAGE_BUCKET) * sift_mod.SIFT_IMAGE_BUCKET - true_w
+    if pad_h or pad_w:
+        image = np.pad(
+            image,
+            ((0, min(pad_h, true_h - 1)), (0, min(pad_w, true_w - 1))),
+            mode="reflect",
+        )
     img = jnp.asarray(image, jnp.float32) / (255.0 if image.max() > 2 else 1.0)
 
     h, w = img.shape
@@ -125,6 +134,8 @@ def extract_doh(
     kp = np.concatenate(all_kp)
     scores = np.concatenate(all_scores)
     desc = np.concatenate(all_desc)
+    inside = (kp[:, 0] < true_w - 0.5) & (kp[:, 1] < true_h - 0.5)
+    kp, scores, desc = kp[inside], scores[inside], desc[inside]
     if kp.shape[0] > max_features:
         order = np.argsort(-scores)[:max_features]
         kp, scores, desc = kp[order], scores[order], desc[order]
