@@ -150,7 +150,16 @@ def _scalar_float(tag: int, value: float) -> bytes:
     return bytes([tag]) + struct.pack("<f", value)
 
 
-def encode_matching_file(pairs: Sequence[PairMatches]) -> bytes:
+def encode_matching_file(pairs: Sequence[PairMatches], use_native: bool = True) -> bytes:
+    if use_native:
+        try:
+            from ..solver.native import encode_matching_file_native
+
+            result = encode_matching_file_native(pairs)
+            if result is not None:
+                return result
+        except ImportError:
+            pass
     out = bytearray()
     for pair in pairs:
         body = (

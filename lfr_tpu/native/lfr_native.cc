@@ -269,3 +269,148 @@ int lfr_matching_fill(const uint8_t* buf, int64_t len,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// MatchingFile wire-format encoder (exact inverse of the decoder above;
+// matches canonical proto3 serialization byte-for-byte, including
+// default-value skipping and the always-present 9+9 displacement entries).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline int varint_size(uint64_t v) {
+  int n = 1;
+  while (v >= 0x80) { v >>= 7; ++n; }
+  return n;
+}
+
+inline uint8_t* put_varint(uint8_t* p, uint64_t v) {
+  while (v >= 0x80) { *p++ = static_cast<uint8_t>(v) | 0x80; v >>= 7; }
+  *p++ = static_cast<uint8_t>(v);
+  return p;
+}
+
+inline uint8_t* put_f32(uint8_t* p, uint8_t tag, float v) {
+  if (v == 0.f) return p;
+  *p++ = tag;
+  std::memcpy(p, &v, 4);
+  return p + 4;
+}
+
+inline int disp_size(const float* d) {  // one Displacement body
+  return (d[0] != 0.f ? 5 : 0) + (d[1] != 0.f ? 5 : 0);
+}
+
+inline int match_body_size(uint32_t f1, uint32_t f2, float sim, const float* g) {
+  int n = 0;
+  if (f1) n += 1 + varint_size(f1);
+  if (f2) n += 1 + varint_size(f2);
+  if (sim != 0.f) n += 5;
+  for (int k = 0; k < 18; ++k) {
+    int b = disp_size(g + 2 * k);
+    n += 2 + b;  // tag + 1-byte length + body
+  }
+  return n;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns the total encoded size.  Inputs use the decoder's flat layout.
+int64_t lfr_matching_encode_size(
+    int64_t n_pairs, const int64_t* pair_match_counts, const float* facts,
+    const int64_t* name_offsets,
+    const uint32_t* matches, const float* sims, const float* disps) {
+  int64_t total = 0;
+  int64_t m0 = 0;
+  for (int64_t p = 0; p < n_pairs; ++p) {
+    int64_t body = 0;
+    int64_t n1 = name_offsets[2 * p + 1] - name_offsets[2 * p];
+    int64_t n2 = name_offsets[2 * p + 2] - name_offsets[2 * p + 1];
+    if (n1) body += 1 + varint_size(n1) + n1;
+    if (facts[2 * p] != 0.f) body += 5;
+    if (n2) body += 1 + varint_size(n2) + n2;
+    if (facts[2 * p + 1] != 0.f) body += 5;
+    for (int64_t m = 0; m < pair_match_counts[p]; ++m) {
+      int mb = match_body_size(
+          matches[2 * (m0 + m)], matches[2 * (m0 + m) + 1], sims[m0 + m],
+          disps + 36 * (m0 + m));
+      body += 1 + varint_size(mb) + mb;
+    }
+    m0 += pair_match_counts[p];
+    total += 1 + varint_size(body) + body;
+  }
+  return total;
+}
+
+int lfr_matching_encode(
+    int64_t n_pairs, const int64_t* pair_match_counts, const float* facts,
+    const int64_t* name_offsets, const char* name_data,
+    const uint32_t* matches, const float* sims, const float* disps,
+    uint8_t* out) {
+  uint8_t* p = out;
+  int64_t m0 = 0;
+  for (int64_t pi = 0; pi < n_pairs; ++pi) {
+    // Recompute the pair body size (cheap relative to writing).
+    int64_t body = 0;
+    int64_t n1 = name_offsets[2 * pi + 1] - name_offsets[2 * pi];
+    int64_t n2 = name_offsets[2 * pi + 2] - name_offsets[2 * pi + 1];
+    if (n1) body += 1 + varint_size(n1) + n1;
+    if (facts[2 * pi] != 0.f) body += 5;
+    if (n2) body += 1 + varint_size(n2) + n2;
+    if (facts[2 * pi + 1] != 0.f) body += 5;
+    for (int64_t m = 0; m < pair_match_counts[pi]; ++m) {
+      int mb = match_body_size(
+          matches[2 * (m0 + m)], matches[2 * (m0 + m) + 1], sims[m0 + m],
+          disps + 36 * (m0 + m));
+      body += 1 + varint_size(mb) + mb;
+    }
+
+    *p++ = 0x0A;
+    p = put_varint(p, body);
+    if (n1) {
+      *p++ = 0x0A;
+      p = put_varint(p, n1);
+      std::memcpy(p, name_data + name_offsets[2 * pi], n1);
+      p += n1;
+    }
+    p = put_f32(p, 0x15, facts[2 * pi]);
+    if (n2) {
+      *p++ = 0x1A;
+      p = put_varint(p, n2);
+      std::memcpy(p, name_data + name_offsets[2 * pi + 1], n2);
+      p += n2;
+    }
+    p = put_f32(p, 0x25, facts[2 * pi + 1]);
+
+    for (int64_t m = 0; m < pair_match_counts[pi]; ++m) {
+      int64_t mi = m0 + m;
+      const float* g = disps + 36 * mi;
+      int mb = match_body_size(matches[2 * mi], matches[2 * mi + 1], sims[mi], g);
+      *p++ = 0x2A;
+      p = put_varint(p, mb);
+      if (matches[2 * mi]) { *p++ = 0x08; p = put_varint(p, matches[2 * mi]); }
+      if (matches[2 * mi + 1]) { *p++ = 0x10; p = put_varint(p, matches[2 * mi + 1]); }
+      p = put_f32(p, 0x1D, sims[mi]);
+      for (int k = 0; k < 9; ++k) {          // disp1 entries (field 4)
+        const float* d = g + 2 * k;
+        *p++ = 0x22;
+        *p++ = static_cast<uint8_t>(disp_size(d));
+        p = put_f32(p, 0x0D, d[0]);
+        p = put_f32(p, 0x15, d[1]);
+      }
+      for (int k = 9; k < 18; ++k) {         // disp2 entries (field 5)
+        const float* d = g + 2 * k;
+        *p++ = 0x2A;
+        *p++ = static_cast<uint8_t>(disp_size(d));
+        p = put_f32(p, 0x0D, d[0]);
+        p = put_f32(p, 0x15, d[1]);
+      }
+    }
+    m0 += pair_match_counts[pi];
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -138,3 +138,59 @@ def decode_matching_file_native(data: bytes):
         )
         m0 += n
     return out
+
+
+def encode_matching_file_native(pairs):
+    """Native MatchingFile encode from PairMatches list (or None)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "lfr_matching_encode"):
+        return None
+    import ctypes as ct
+
+    lib.lfr_matching_encode_size.restype = ct.c_int64
+    lib.lfr_matching_encode.restype = ct.c_int
+
+    n_pairs = len(pairs)
+    counts = np.array([p.num_matches for p in pairs], np.int64)
+    facts = np.empty(2 * n_pairs, np.float32)
+    names = []
+    name_offsets = np.zeros(2 * n_pairs + 1, np.int64)
+    for k, p in enumerate(pairs):
+        facts[2 * k] = p.fact1
+        facts[2 * k + 1] = p.fact2
+        b1 = p.image_name1.encode("utf-8")
+        b2 = p.image_name2.encode("utf-8")
+        names.append(b1)
+        names.append(b2)
+        name_offsets[2 * k + 1] = name_offsets[2 * k] + len(b1)
+        name_offsets[2 * k + 2] = name_offsets[2 * k + 1] + len(b2)
+    name_data = b"".join(names)
+    total_m = int(counts.sum())
+    matches = np.zeros((total_m, 2), np.uint32)
+    sims = np.zeros(total_m, np.float32)
+    disps = np.zeros((total_m, 36), np.float32)
+    m0 = 0
+    for p in pairs:
+        n = p.num_matches
+        if n:
+            matches[m0 : m0 + n] = p.matches
+            sims[m0 : m0 + n] = p.similarities
+            disps[m0 : m0 + n, :18] = np.asarray(p.disp1, np.float32).reshape(n, 18)
+            disps[m0 : m0 + n, 18:] = np.asarray(p.disp2, np.float32).reshape(n, 18)
+        m0 += n
+
+    p64 = lambda a: a.ctypes.data_as(ct.POINTER(ct.c_int64))  # noqa: E731
+    pf = lambda a: a.ctypes.data_as(ct.POINTER(ct.c_float))  # noqa: E731
+    size = lib.lfr_matching_encode_size(
+        n_pairs, p64(counts), pf(facts), p64(name_offsets),
+        matches.ctypes.data_as(ct.POINTER(ct.c_uint32)), pf(sims), pf(disps),
+    )
+    out = ctypes.create_string_buffer(max(int(size), 1))
+    rc = lib.lfr_matching_encode(
+        n_pairs, p64(counts), pf(facts), p64(name_offsets), name_data,
+        matches.ctypes.data_as(ct.POINTER(ct.c_uint32)), pf(sims), pf(disps),
+        ct.cast(out, ct.POINTER(ct.c_uint8)),
+    )
+    if rc != 0:
+        raise ValueError("native MatchingFile encode failed")
+    return out.raw[: int(size)]

@@ -68,9 +68,11 @@ def test_matching_file_bytes_match_protobuf():
         _random_pair(rng, 0, "empty1.png", "empty2.png"),
         _random_pair(rng, 5, zero_grids=True),
     ]
-    ours = protos.encode_matching_file(pairs)
+    ours_py = protos.encode_matching_file(pairs, use_native=False)
+    ours_default = protos.encode_matching_file(pairs)
     theirs = _to_reference(pairs).SerializeToString(deterministic=True)
-    assert ours == theirs
+    assert ours_py == theirs
+    assert ours_default == theirs
 
 
 def test_matching_file_roundtrip():
@@ -166,3 +168,18 @@ def test_native_decoder_parity():
         np.testing.assert_allclose(a.similarities, b.similarities, rtol=0)
         np.testing.assert_allclose(a.disp1, b.disp1, rtol=0)
         np.testing.assert_allclose(a.disp2, b.disp2, rtol=0)
+
+
+def test_native_encoder_byte_parity():
+    from lfr_tpu.solver.native import encode_matching_file_native
+
+    rng = np.random.default_rng(12)
+    pairs = [
+        _random_pair(rng, 31),
+        _random_pair(rng, 0, "x.png", "y.png"),
+        _random_pair(rng, 5, zero_grids=True),
+    ]
+    native = encode_matching_file_native(pairs)
+    if native is None:
+        pytest.skip("native library not built")
+    assert native == protos.encode_matching_file(pairs, use_native=False)
