@@ -75,13 +75,32 @@ def solve_matches(
     positions = np.zeros((graph.num_nodes, 2), dtype=np.float32)
     t1 = time.time()
     packed = buckets_mod.pack_components(graph, tracks, component_idx)
+    # Dispatch every bucket batch before syncing any result so device
+    # execution pipelines across batches.
+    pending = []
     for batch, node_map in zip(packed.batches, packed.node_maps):
         if mesh is not None:
             from ..parallel.sharded import sharded_solve_batch
 
             solved = sharded_solve_batch(batch, mesh, max_iter=max_iter)
         else:
-            solved = solve_batch(batch, max_iter=max_iter)
+            from .lm import solve_component_batch
+            import jax.numpy as jnp
+
+            solved = solve_component_batch(
+                jnp.asarray(batch.edge_src),
+                jnp.asarray(batch.edge_dst),
+                jnp.asarray(batch.edge_sim),
+                jnp.asarray(batch.edge_flow),
+                jnp.asarray(batch.edge_intra),
+                jnp.asarray(batch.edge_valid),
+                jnp.asarray(batch.is_root),
+                jnp.asarray(batch.node_valid),
+                max_iter=max_iter,
+            )
+        pending.append((solved, node_map))
+    for solved, node_map in pending:
+        solved = np.asarray(solved)
         valid = node_map >= 0
         positions[node_map[valid]] = solved[valid]
     t2 = time.time()

@@ -53,14 +53,32 @@ def main():
         comp = partition.partition_components(g, tr)
         t3 = time.perf_counter()
         packed = buckets.pack_components(g, tr, comp)
+        import jax
+        import jax.numpy as jnp
+
+        def solve_all():
+            outs = []
+            for batch in packed.batches:
+                outs.append(
+                    lm.solve_component_batch(
+                        jnp.asarray(batch.edge_src),
+                        jnp.asarray(batch.edge_dst),
+                        jnp.asarray(batch.edge_sim),
+                        jnp.asarray(batch.edge_flow),
+                        jnp.asarray(batch.edge_intra),
+                        jnp.asarray(batch.edge_valid),
+                        jnp.asarray(batch.is_root),
+                        jnp.asarray(batch.node_valid),
+                    )
+                )
+            jax.block_until_ready(outs)
+
         t4 = time.perf_counter()
-        for batch in packed.batches:
-            lm.solve_batch(batch)
+        solve_all()
         t5 = time.perf_counter()
         # Steady state (compiled).
         t6 = time.perf_counter()
-        for batch in packed.batches:
-            lm.solve_batch(batch)
+        solve_all()
         t7 = time.perf_counter()
         print(
             f"images={n_images} nodes={g.num_nodes} edges={g.num_edges} "
