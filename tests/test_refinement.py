@@ -208,3 +208,18 @@ def test_fused_fine_matches_chunked_path():
     g12_chunk, g21_chunk = ref.refine_matches(img1, kps, img2, kps, matches)
     np.testing.assert_allclose(g12_fused, g12_chunk, atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(g21_fused, g21_chunk, atol=2e-4, rtol=1e-3)
+
+
+def test_refinement_with_mismatched_image_sizes():
+    """The fused program's device-image harmonization must handle pairs
+    whose images have different shapes (and so different pad buckets)."""
+    rng = np.random.default_rng(13)
+    img1 = synthetic.textured_image(rng, 200, 320)
+    img2 = synthetic.textured_image(rng, 120, 180)
+    ref = refinement.TwoViewRefiner(batch_size=8, rng_seed=0)
+    kp1 = np.stack([rng.uniform(30, 290, 9), rng.uniform(30, 170, 9)], axis=1)
+    kp2 = np.stack([rng.uniform(30, 150, 9), rng.uniform(30, 90, 9)], axis=1)
+    matches = np.stack([np.arange(9), np.arange(9)], axis=1)
+    g12, g21 = ref.refine_matches(img1, kp1, img2, kp2, matches)
+    assert g12.shape == (9, 3, 3, 2) and np.isfinite(g12).all()
+    assert g21.shape == (9, 3, 3, 2) and np.isfinite(g21).all()
