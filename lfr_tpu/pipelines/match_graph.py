@@ -87,36 +87,21 @@ def compute_match_graph(
             written.append(path)
         out_pairs = []
 
-    feats1 = None
-    for pair_idx, (name1, name2) in enumerate(pairs):
-        if name1 != cached_name1:
-            cached_name1 = name1
-            image1, fact1, feats1 = _get(name1)
-        image2, fact2, feats2 = _get(name2)
-        if pair_idx + 1 < len(pairs):
-            nxt = pairs[pair_idx + 1][1]
-            if nxt not in prefetched:
-                prefetched[nxt] = pool.submit(_load, nxt)
+    # Fused per-pair dispatch pipelines matching + refinement across pairs;
+    # results resolve a few pairs behind the dispatch front.
+    import collections
 
-        if feats1.num_features > 0 and feats2.num_features > 0:
-            # Keypoints live at original resolution; bring them to the
-            # matching resolution (reference: compute_match_graph.py:127-131).
-            kps1 = feats1.xy / fact1
-            kps2 = feats2.xy / fact2
-            m, sim = matchers.match(
-                feats1.descriptors, feats2.descriptors, method.matcher, method.threshold
-            )
-            if skip_refinement or m.shape[0] == 0:
-                grid12 = np.zeros((m.shape[0], 3, 3, 2), dtype=np.float32)
-                grid21 = np.zeros((m.shape[0], 3, 3, 2), dtype=np.float32)
-            else:
-                grid12, grid21 = refiner.refine_matches(image1, kps1, image2, kps2, m)
-        else:
-            m = np.zeros((0, 2), dtype=np.int64)
-            sim = np.zeros(0, dtype=np.float32)
-            grid12 = np.zeros((0, 3, 3, 2), dtype=np.float32)
-            grid21 = np.zeros((0, 3, 3, 2), dtype=np.float32)
+    fused = (
+        not skip_refinement
+        and refiner is not None
+        and getattr(refiner, "_patch_cnn", None) is getattr(refiner, "_patch_cnn_original", 0)
+    )
+    queue = collections.deque()  # (meta, pending-or-ready)
+    PIPELINE_DEPTH = 3
 
+    def _emit(meta, payload):
+        name1, fact1, name2, fact2 = meta
+        m, sim, grid12, grid21 = payload
         # disp1 carries the flow toward image 1 (2->1 grids), disp2 toward
         # image 2 (reference: compute_match_graph.py:178-187).
         out_pairs.append(
@@ -132,6 +117,56 @@ def compute_match_graph(
             )
         )
 
+    def _drain(limit: int) -> None:
+        while len(queue) > limit:
+            meta, item, ready = queue.popleft()
+            if not ready:
+                item = refiner.finalize_pair(item)
+            _emit(meta, item)
+
+    feats1 = None
+    for pair_idx, (name1, name2) in enumerate(pairs):
+        if name1 != cached_name1:
+            cached_name1 = name1
+            image1, fact1, feats1 = _get(name1)
+        image2, fact2, feats2 = _get(name2)
+        if pair_idx + 1 < len(pairs):
+            nxt = pairs[pair_idx + 1][1]
+            if nxt not in prefetched:
+                prefetched[nxt] = pool.submit(_load, nxt)
+
+        meta = (name1, fact1, name2, fact2)
+        if feats1.num_features > 0 and feats2.num_features > 0:
+            # Keypoints live at original resolution; bring them to the
+            # matching resolution (reference: compute_match_graph.py:127-131).
+            kps1 = feats1.xy / fact1
+            kps2 = feats2.xy / fact2
+            if fused:
+                pending = refiner.process_pair(
+                    image1, kps1, feats1.descriptors,
+                    image2, kps2, feats2.descriptors,
+                    method.matcher, method.threshold,
+                )
+                queue.append((meta, pending, False))
+            else:
+                m, sim = matchers.match(
+                    feats1.descriptors, feats2.descriptors, method.matcher, method.threshold
+                )
+                if skip_refinement or m.shape[0] == 0:
+                    grid12 = np.zeros((m.shape[0], 3, 3, 2), dtype=np.float32)
+                    grid21 = np.zeros((m.shape[0], 3, 3, 2), dtype=np.float32)
+                else:
+                    grid12, grid21 = refiner.refine_matches(
+                        image1, kps1, image2, kps2, m
+                    )
+                queue.append((meta, (m, sim, grid12, grid21), True))
+        else:
+            z = np.zeros((0, 3, 3, 2), dtype=np.float32)
+            queue.append(
+                (meta, (np.zeros((0, 2), np.int64), np.zeros(0, np.float32), z, z), True)
+            )
+        _drain(PIPELINE_DEPTH)
+
         if progress and (pair_idx + 1) % 25 == 0:
             rate = (pair_idx + 1) / (time.time() - t0)
             print(
@@ -140,8 +175,10 @@ def compute_match_graph(
                 flush=True,
             )
         if pair_idx % dump_interval == dump_interval - 1:
+            _drain(0)
             _flush(final=False)
 
+    _drain(0)
     pool.shutdown(wait=False)
     _flush(final=part_idx == -1)
     return written

@@ -212,6 +212,139 @@ class TwoViewRefiner:
 
         self._refine_full = _refine_full
 
+        @functools.partial(jax.jit, static_argnames=("matcher", "max_matches"))
+        def _match_and_refine(
+            variables,
+            d1, d2, n1, n2, threshold,
+            kp1, kp2,
+            im1, im2, up1, up2,
+            o1, o2, ou1, ou2,
+            matcher: str,
+            max_matches: int,
+        ):
+            """Hot loop #1 as ONE program: MNN matching, match compaction,
+            coarse+fine refinement — a single dispatch per image pair.
+
+            d1/d2: (B1, D)/(B2, D) padded descriptors; kp1/kp2 padded (x, y)
+            keypoints at matching resolution.  Returns padded match arrays
+            (idx (K, 2), sim (K,), valid (K,)) and flow grids (K, 3, 3, 2).
+            """
+            from ..ops import matchers as matchers_mod
+
+            if matcher == "similarity":
+                nn12, msim, keep = matchers_mod._mnn_similarity_padded(
+                    d1, d2, n1, n2, threshold
+                )
+            else:
+                nn12, msim, keep = matchers_mod._mnn_ratio_padded(
+                    d1, d2, n1, n2, threshold
+                )
+
+            # Compact matches to the first max_matches keeps (index order,
+            # like the host matcher's nonzero()).
+            big = d1.shape[0] + 1
+            order = jnp.where(keep, jnp.arange(d1.shape[0]), big)
+            order = jnp.sort(order)[:max_matches]
+            valid = order < big
+            idx1 = jnp.where(valid, order, 0)
+            idx2 = nn12[idx1]
+            sim_out = msim[idx1]
+
+            ij1 = kp1[idx1][:, ::-1]  # (x, y) -> (i, j)
+            ij2 = kp2[idx2][:, ::-1]
+
+            p1 = panet.normalize_patches(
+                extract_patches_separable(im1, ij1 + o1, PATCH_SIZE)
+            )
+            p2 = panet.normalize_patches(
+                extract_patches_separable(im2, ij2 + o2, PATCH_SIZE)
+            )
+            c12, c21 = self.model.apply(
+                variables, p1, p2, method=panet.PANet.forward_sym
+            )
+            fine12, fine21 = _fine_both(
+                variables, up1, up2, ij1, ij2, c12, c21, ou1, ou2
+            )
+            grid12 = c12[:, None, None] + 0.5 * fine12
+            grid21 = c21[:, None, None] + 0.5 * fine21
+            matches = jnp.stack([idx1, idx2], axis=1)
+            return matches, sim_out, valid, grid12, grid21
+
+        self._match_and_refine = _match_and_refine
+
+    # ------------------------------------------------------------------
+    # Fused per-pair pipeline (matching + refinement, one dispatch).
+    # ------------------------------------------------------------------
+
+    def process_pair(
+        self,
+        image1: np.ndarray,
+        keypoints1: np.ndarray,
+        descriptors1: np.ndarray,
+        image2: np.ndarray,
+        keypoints2: np.ndarray,
+        descriptors2: np.ndarray,
+        matcher: str,
+        threshold: float,
+        max_matches: int = 2048,
+    ):
+        """Dispatch matching + coarse-to-fine refinement for one pair.
+
+        Returns an opaque pending handle; resolve with
+        :meth:`finalize_pair`.  Dispatches do not synchronize, so
+        consecutive pairs pipeline through the device.
+        """
+        from ..ops.matchers import _pad_descriptors
+
+        d1, n1 = _pad_descriptors(np.asarray(descriptors1, np.float32))
+        d2, n2 = _pad_descriptors(np.asarray(descriptors2, np.float32))
+        kp1 = np.zeros((d1.shape[0], 2), np.float32)
+        kp1[:n1] = keypoints1[:, :2]
+        kp2 = np.zeros((d2.shape[0], 2), np.float32)
+        kp2[:n2] = keypoints2[:, :2]
+
+        d_img1 = _DeviceImage(image1)
+        d_img2 = _DeviceImage(image2)
+        d_up1 = _DeviceImage(image1, upsample=True)
+        d_up2 = _DeviceImage(image2, upsample=True)
+        up1_arr, up2_arr = _harmonize(d_up1, d_up2)
+        im1_arr, im2_arr = _harmonize(d_img1, d_img2)
+
+        out = self._match_and_refine(
+            self.variables,
+            jnp.asarray(d1),
+            jnp.asarray(d2),
+            jnp.int32(n1),
+            jnp.int32(n2),
+            jnp.float32(threshold),
+            jnp.asarray(kp1),
+            jnp.asarray(kp2),
+            im1_arr,
+            im2_arr,
+            up1_arr,
+            up2_arr,
+            jnp.float32(d_img1.offset),
+            jnp.float32(d_img2.offset),
+            jnp.float32(d_up1.offset),
+            jnp.float32(d_up2.offset),
+            matcher="similarity" if matcher == "similarity" else "ratio",
+            max_matches=min(max_matches, d1.shape[0]),
+        )
+        return out
+
+    @staticmethod
+    def finalize_pair(pending):
+        """Resolve a :meth:`process_pair` handle ->
+        (matches (N, 2) int64, sims (N,), grid12, grid21)."""
+        matches, sims, valid, grid12, grid21 = pending
+        valid = np.asarray(valid)
+        return (
+            np.asarray(matches)[valid].astype(np.int64),
+            np.asarray(sims)[valid],
+            np.asarray(grid12)[valid],
+            np.asarray(grid21)[valid],
+        )
+
     # ------------------------------------------------------------------
 
     def _run_chunked(self, img1: _DeviceImage, img2: _DeviceImage, ij1, ij2, sym: bool):

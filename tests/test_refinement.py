@@ -223,3 +223,29 @@ def test_refinement_with_mismatched_image_sizes():
     g12, g21 = ref.refine_matches(img1, kp1, img2, kp2, matches)
     assert g12.shape == (9, 3, 3, 2) and np.isfinite(g12).all()
     assert g21.shape == (9, 3, 3, 2) and np.isfinite(g21).all()
+
+
+def test_fused_match_and_refine_parity():
+    """The one-dispatch match+refine program equals matcher + refine_matches."""
+    from lfr_tpu.ops import matchers
+
+    rng = np.random.default_rng(14)
+    img1, img2 = synthetic.shifted_pair(rng, 120, 160, (2, -1))
+    n = 60
+    kp1 = np.stack([rng.uniform(30, 130, n), rng.uniform(30, 90, n)], axis=1)
+    kp2 = kp1 + rng.uniform(-1, 1, (n, 2))
+    d1 = rng.standard_normal((n, 64)).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=1, keepdims=True)
+    d2 = (d1 + 0.05 * rng.standard_normal((n, 64)).astype(np.float32))
+    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+
+    ref = refinement.TwoViewRefiner(batch_size=256, rng_seed=0)
+    pending = ref.process_pair(img1, kp1, d1, img2, kp2, d2, "ratio", 0.9)
+    f_matches, f_sims, f_g12, f_g21 = ref.finalize_pair(pending)
+
+    m, s = matchers.match(d1, d2, "ratio", 0.9)
+    np.testing.assert_array_equal(f_matches, m)
+    np.testing.assert_allclose(f_sims, s, rtol=1e-5)
+    g12, g21 = ref.refine_matches(img1, kp1, img2, kp2, m)
+    np.testing.assert_allclose(f_g12, g12, atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(f_g21, g21, atol=2e-4, rtol=1e-3)
