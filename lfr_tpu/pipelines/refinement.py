@@ -132,6 +132,15 @@ class TwoViewRefiner:
         rng_seed: int = 0,
     ):
         if variables is None:
+            import sys
+
+            print(
+                "[refinement] no checkpoint provided - using randomly "
+                "initialized flow-CNN weights (refinement output will be "
+                "near-zero noise; train with `python -m lfr_tpu.models.train` "
+                "or pass --checkpoint)",
+                file=sys.stderr,
+            )
             variables = panet.init_params(jax.random.PRNGKey(rng_seed), compute_dtype)
         self.variables = variables
         self.batch_size = int(batch_size)
