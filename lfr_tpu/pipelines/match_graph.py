@@ -36,6 +36,7 @@ def compute_match_graph(
     skip_refinement: bool = False,
     dump_interval: int = DUMP_INTERVAL,
     progress: bool = True,
+    max_matches: int = 2048,
 ) -> List[str]:
     """Build the match graph for all pairs; returns the written file list.
 
@@ -146,6 +147,7 @@ def compute_match_graph(
                     image1, kps1, feats1.descriptors,
                     image2, kps2, feats2.descriptors,
                     method.matcher, method.threshold,
+                    max_matches=max_matches,
                 )
                 queue.append((meta, pending, False))
             else:
@@ -181,6 +183,13 @@ def compute_match_graph(
     _drain(0)
     pool.shutdown(wait=False)
     _flush(final=part_idx == -1)
+    if refiner is not None and getattr(refiner, "regrown_pairs", 0):
+        print(
+            f"[match-graph] {refiner.regrown_pairs} pairs exceeded the "
+            f"initial match capacity ({max_matches}) and were re-dispatched "
+            "at a larger one (no matches dropped)",
+            file=sys.stderr,
+        )
     return written
 
 
@@ -194,6 +203,13 @@ def main(argv=None) -> None:
     parser.add_argument("--method_name", required=True)
     parser.add_argument("--output_file", required=True)
     parser.add_argument("--batch_size", type=int, default=DEFAULT_BATCH_SIZE)
+    parser.add_argument(
+        "--max_matches",
+        type=int,
+        default=2048,
+        help="initial per-pair match capacity (auto-grows on overflow; "
+        "never drops matches)",
+    )
     parser.add_argument("--checkpoint", default=None, help="optional torch checkpoint.pth")
     parser.add_argument("--max_edge", type=int, default=None)
     parser.add_argument("--max_sum_edges", type=int, default=None)
@@ -236,6 +252,7 @@ def main(argv=None) -> None:
         refiner=refiner,
         batch_size=args.batch_size,
         skip_refinement=skip,
+        max_matches=args.max_matches,
     )
 
 

@@ -250,7 +250,11 @@ class TwoViewRefiner:
                 )
 
             # Compact matches to the first max_matches keeps (index order,
-            # like the host matcher's nonzero()).
+            # like the host matcher's nonzero()).  n_keep reports the TRUE
+            # match count so the host can detect overflow and re-dispatch
+            # with a larger capacity — no silent truncation (the reference
+            # keeps all matches, compute_match_graph.py:134-147).
+            n_keep = jnp.sum(keep)
             big = d1.shape[0] + 1
             order = jnp.where(keep, jnp.arange(d1.shape[0]), big)
             order = jnp.sort(order)[:max_matches]
@@ -277,9 +281,12 @@ class TwoViewRefiner:
             grid12 = c12[:, None, None] + 0.5 * fine12
             grid21 = c21[:, None, None] + 0.5 * fine21
             matches = jnp.stack([idx1, idx2], axis=1)
-            return matches, sim_out, valid, grid12, grid21
+            return matches, sim_out, valid, grid12, grid21, n_keep
 
         self._match_and_refine = _match_and_refine
+        #: Pairs whose match count overflowed the default capacity and were
+        #: transparently re-dispatched at a larger one (health counter).
+        self.regrown_pairs = 0
 
     # ------------------------------------------------------------------
     # Fused per-pair pipeline (matching + refinement, one dispatch).
@@ -302,6 +309,10 @@ class TwoViewRefiner:
         Returns an opaque pending handle; resolve with
         :meth:`finalize_pair`.  Dispatches do not synchronize, so
         consecutive pairs pipeline through the device.
+
+        ``max_matches`` is a *capacity*, not a cap: finalize_pair detects
+        overflow via the returned true match count and re-dispatches the
+        pair at a larger capacity, so no match is ever silently dropped.
         """
         from ..ops.matchers import _pad_descriptors
 
@@ -319,6 +330,7 @@ class TwoViewRefiner:
         up1_arr, up2_arr = _harmonize(d_up1, d_up2)
         im1_arr, im2_arr = _harmonize(d_img1, d_img2)
 
+        capacity = min(max_matches, d1.shape[0])
         out = self._match_and_refine(
             self.variables,
             jnp.asarray(d1),
@@ -337,15 +349,40 @@ class TwoViewRefiner:
             jnp.float32(d_up1.offset),
             jnp.float32(d_up2.offset),
             matcher="similarity" if matcher == "similarity" else "ratio",
-            max_matches=min(max_matches, d1.shape[0]),
+            max_matches=capacity,
         )
-        return out
+        retry_args = (
+            image1, keypoints1, descriptors1,
+            image2, keypoints2, descriptors2,
+            matcher, threshold,
+        )
+        return (out, capacity, d1.shape[0], retry_args)
 
-    @staticmethod
-    def finalize_pair(pending):
+    def finalize_pair(self, pending):
         """Resolve a :meth:`process_pair` handle ->
-        (matches (N, 2) int64, sims (N,), grid12, grid21)."""
-        matches, sims, valid, grid12, grid21 = pending
+        (matches (N, 2) int64, sims (N,), grid12, grid21).
+
+        If the pair's true match count exceeded the dispatch capacity, the
+        pair is re-dispatched synchronously at a larger capacity (rounded
+        to 1024 to bound the number of compiled programs) and the counter
+        ``regrown_pairs`` is bumped — matches are never silently dropped.
+        """
+        import sys
+
+        out, capacity, max_capacity, retry_args = pending
+        matches, sims, valid, grid12, grid21, n_keep = out
+        n_keep = int(n_keep)
+        if n_keep > capacity and capacity < max_capacity:
+            new_cap = min(-(-n_keep // 1024) * 1024, max_capacity)
+            self.regrown_pairs += 1
+            print(
+                f"[refinement] pair exceeded match capacity "
+                f"({n_keep} > {capacity}); re-dispatching at {new_cap}",
+                file=sys.stderr,
+            )
+            return self.finalize_pair(
+                self.process_pair(*retry_args, max_matches=new_cap)
+            )
         valid = np.asarray(valid)
         return (
             np.asarray(matches)[valid].astype(np.int64),

@@ -143,6 +143,107 @@ def _cost(R, t, fscale, points, obs_cam, obs_pt, obs_uv, obs_focal):
     return jnp.sum(huber)
 
 
+def schur_step(
+    Rc,
+    tc,
+    fsc,
+    Xc,
+    lam,
+    obs_cam,
+    obs_pt,
+    obs_uv,
+    obs_focal,
+    free,
+    pt_obs_idx,
+    pt_obs_valid,
+    n_cameras: int,
+):
+    """One damped Gauss-Newton step via the Schur-reduced camera system.
+
+    Returns (dc (C, CAM_DOF), dX (P, 3)).  With ``lam = 0`` this is an
+    undamped GN step — exposed at module level so tests can validate the
+    grouped Schur assembly against a dense reference solve.
+    """
+    d = CAM_DOF
+    r, Jc, Jp, w = _obs_jacobians(
+        Rc, tc, fsc, Xc, obs_cam, obs_pt, obs_uv, obs_focal
+    )
+    # Mask Jacobians of frozen parameters.
+    Jc = Jc * free[obs_cam][:, None, :]
+    sw = jnp.sqrt(w)[:, None, None]
+    Jc = Jc * sw
+    Jp = Jp * sw
+    rw = r * jnp.sqrt(w)[:, None]
+
+    # Camera block B (block-diagonal d x d per camera) and gradient.
+    JcT_Jc = jnp.einsum("oia,oib->oab", Jc, Jc)
+    JcT_r = jnp.einsum("oia,oi->oa", Jc, rw)
+    B = jax.ops.segment_sum(JcT_Jc, obs_cam, n_cameras)
+    g_c = jax.ops.segment_sum(JcT_r, obs_cam, n_cameras)
+
+    # Point blocks C (3x3) and gradient, per point via padded groups.
+    o_idx = jnp.maximum(pt_obs_idx, 0)
+    Jp_g = Jp[o_idx] * pt_obs_valid[..., None, None]    # (P, V, 2, 3)
+    Jc_g = Jc[o_idx] * pt_obs_valid[..., None, None]    # (P, V, 2, d)
+    r_g = rw[o_idx] * pt_obs_valid[..., None]           # (P, V, 2)
+    cam_g = obs_cam[o_idx]                              # (P, V)
+
+    Cp = jnp.einsum("pvia,pvib->pab", Jp_g, Jp_g)       # (P, 3, 3)
+    g_p = jnp.einsum("pvia,pvi->pa", Jp_g, r_g)         # (P, 3)
+    # Damp both blocks (Marquardt scaling).
+    B = B + lam * jnp.eye(d)[None] * jnp.maximum(
+        jnp.diagonal(B, axis1=1, axis2=2), 1e-6
+    )[:, :, None]
+    Cp = Cp + lam * jnp.eye(3)[None] * jnp.maximum(
+        jnp.diagonal(Cp, axis1=1, axis2=2), 1e-6
+    )[:, :, None]
+    Cp_inv = jnp.linalg.inv(Cp + 1e-9 * jnp.eye(3)[None])
+
+    # E blocks per (point, view): (d, 3).
+    E = jnp.einsum("pvia,pvib->pvab", Jc_g, Jp_g)
+    ECi = jnp.einsum("pvab,pbc->pvac", E, Cp_inv)
+    rhs_contrib = jnp.einsum("pvac,pc->pva", ECi, g_p)  # (P, V, d)
+
+    # Schur pairing E C^-1 E^T over all (v, w) observation pairs of each
+    # point.  The V axis is the true max track length, so the pairing is
+    # exact; chunk its first axis to bound peak memory (P*vc*V*d*d
+    # instead of P*V^2*d*d).
+    S = jnp.zeros((n_cameras, n_cameras, d, d))
+    n_v = cam_g.shape[1]
+    vc = 8
+    for v0 in range(0, n_v, vc):
+        ECi_c = ECi[:, v0 : v0 + vc]                      # (P, vc', d, 3)
+        valid_c = pt_obs_valid[:, v0 : v0 + vc]
+        cam_c = cam_g[:, v0 : v0 + vc]
+        Sc = jnp.einsum("pvac,pwbc->pvwab", ECi_c, E)     # (P, vc', V, d, d)
+        pv = (valid_c[:, :, None] & pt_obs_valid[:, None, :])[..., None, None]
+        ca = jnp.broadcast_to(cam_c[:, :, None], Sc.shape[:3])
+        cb = jnp.broadcast_to(cam_g[:, None, :], Sc.shape[:3])
+        S = S.at[ca.reshape(-1), cb.reshape(-1)].add(
+            (-Sc * pv).reshape(-1, d, d)
+        )
+    S = S.at[jnp.arange(n_cameras), jnp.arange(n_cameras)].add(B)
+
+    rhs = g_c - jax.ops.segment_sum(
+        (rhs_contrib * pt_obs_valid[..., None]).reshape(-1, d),
+        cam_g.reshape(-1),
+        n_cameras,
+    )
+
+    # Dense solve of the reduced camera system.
+    Sd = jnp.transpose(S, (0, 2, 1, 3)).reshape(d * n_cameras, d * n_cameras)
+    fmask = free.reshape(-1)
+    Sd = Sd * fmask[:, None] * fmask[None, :] + jnp.diag(1.0 - fmask)
+    rhs_flat = (-rhs.reshape(-1)) * fmask
+    L, low = jax.scipy.linalg.cho_factor(Sd, lower=True)
+    dc = jax.scipy.linalg.cho_solve((L, low), rhs_flat).reshape(n_cameras, d)
+
+    # Back-substitute points: dX = C^-1 (-g_p - E^T dc).
+    ET_dc = jnp.einsum("pvab,pva->pb", E, dc[cam_g] * pt_obs_valid[..., None])
+    dX = jnp.einsum("pab,pb->pa", Cp_inv, -g_p - ET_dc)
+    return dc, dX
+
+
 @functools.partial(jax.jit, static_argnames=("n_cameras", "iterations"))
 def ba_iterate(
     R,
@@ -160,80 +261,14 @@ def ba_iterate(
     iterations: int = 20,
 ):
     """LM loop.  Returns (R, t, fscale, points, final_cost)."""
-    d = CAM_DOF
-
-    def build_and_solve(Rc, tc, fsc, Xc, lam):
-        r, Jc, Jp, w = _obs_jacobians(
-            Rc, tc, fsc, Xc, obs_cam, obs_pt, obs_uv, obs_focal
-        )
-        # Mask Jacobians of frozen parameters.
-        Jc = Jc * free[obs_cam][:, None, :]
-        sw = jnp.sqrt(w)[:, None, None]
-        Jc = Jc * sw
-        Jp = Jp * sw
-        rw = r * jnp.sqrt(w)[:, None]
-
-        # Camera block B (block-diagonal d x d per camera) and gradient.
-        JcT_Jc = jnp.einsum("oia,oib->oab", Jc, Jc)
-        JcT_r = jnp.einsum("oia,oi->oa", Jc, rw)
-        B = jax.ops.segment_sum(JcT_Jc, obs_cam, n_cameras)
-        g_c = jax.ops.segment_sum(JcT_r, obs_cam, n_cameras)
-
-        # Point blocks C (3x3) and gradient, per point via padded groups.
-        o_idx = jnp.maximum(pt_obs_idx, 0)
-        Jp_g = Jp[o_idx] * pt_obs_valid[..., None, None]    # (P, V, 2, 3)
-        Jc_g = Jc[o_idx] * pt_obs_valid[..., None, None]    # (P, V, 2, d)
-        r_g = rw[o_idx] * pt_obs_valid[..., None]           # (P, V, 2)
-        cam_g = obs_cam[o_idx]                              # (P, V)
-
-        Cp = jnp.einsum("pvia,pvib->pab", Jp_g, Jp_g)       # (P, 3, 3)
-        g_p = jnp.einsum("pvia,pvi->pa", Jp_g, r_g)         # (P, 3)
-        # Damp both blocks (Marquardt scaling).
-        B = B + lam * jnp.eye(d)[None] * jnp.maximum(
-            jnp.diagonal(B, axis1=1, axis2=2), 1e-6
-        )[:, :, None]
-        Cp = Cp + lam * jnp.eye(3)[None] * jnp.maximum(
-            jnp.diagonal(Cp, axis1=1, axis2=2), 1e-6
-        )[:, :, None]
-        Cp_inv = jnp.linalg.inv(Cp + 1e-9 * jnp.eye(3)[None])
-
-        # E blocks per (point, view): (d, 3).
-        E = jnp.einsum("pvia,pvib->pvab", Jc_g, Jp_g)
-        ECi = jnp.einsum("pvab,pbc->pvac", E, Cp_inv)
-        S_contrib = jnp.einsum("pvac,pwbc->pvwab", ECi, E)  # (P, V, V, d, d)
-        rhs_contrib = jnp.einsum("pvac,pc->pva", ECi, g_p)  # (P, V, d)
-
-        S = jnp.zeros((n_cameras, n_cameras, d, d))
-        pair_valid = (pt_obs_valid[:, :, None] & pt_obs_valid[:, None, :])[..., None, None]
-        ca = jnp.broadcast_to(cam_g[:, :, None], cam_g.shape + (cam_g.shape[1],))
-        cb = jnp.broadcast_to(cam_g[:, None, :], ca.shape)
-        S = S.at[ca.reshape(-1), cb.reshape(-1)].add(
-            (-S_contrib * pair_valid).reshape(-1, d, d)
-        )
-        S = S.at[jnp.arange(n_cameras), jnp.arange(n_cameras)].add(B)
-
-        rhs = g_c - jax.ops.segment_sum(
-            (rhs_contrib * pt_obs_valid[..., None]).reshape(-1, d),
-            cam_g.reshape(-1),
-            n_cameras,
-        )
-
-        # Dense solve of the reduced camera system.
-        Sd = jnp.transpose(S, (0, 2, 1, 3)).reshape(d * n_cameras, d * n_cameras)
-        fmask = free.reshape(-1)
-        Sd = Sd * fmask[:, None] * fmask[None, :] + jnp.diag(1.0 - fmask)
-        rhs_flat = (-rhs.reshape(-1)) * fmask
-        L, low = jax.scipy.linalg.cho_factor(Sd, lower=True)
-        dc = jax.scipy.linalg.cho_solve((L, low), rhs_flat).reshape(n_cameras, d)
-
-        # Back-substitute points: dX = C^-1 (-g_p - E^T dc).
-        ET_dc = jnp.einsum("pvab,pva->pb", E, dc[cam_g] * pt_obs_valid[..., None])
-        dX = jnp.einsum("pab,pb->pa", Cp_inv, -g_p - ET_dc)
-        return dc, dX
 
     def body(state):
         Rc, tc, fsc, Xc, lam, cost, done, it = state
-        dc, dX = build_and_solve(Rc, tc, fsc, Xc, lam)
+        dc, dX = schur_step(
+            Rc, tc, fsc, Xc, lam,
+            obs_cam, obs_pt, obs_uv, obs_focal,
+            free, pt_obs_idx, pt_obs_valid, n_cameras,
+        )
         dc = dc * free
         R_new = so3_exp(dc[:, :3]) @ Rc
         t_new = tc + dc[:, 3:6]
@@ -263,18 +298,24 @@ def ba_iterate(
     return R, t, fscale, points, cost
 
 
-def _group_by_point(obs_pt: np.ndarray, n_points: int, cap: int = 32):
-    """(P, V) padded observation-index groups per point."""
+def _group_by_point(obs_pt: np.ndarray, n_points: int):
+    """(P, V) padded observation-index groups per point.
+
+    V is the TRUE maximum track length — every observation appears in
+    exactly one group row, so the Schur-reduced system is consistent with
+    the camera block for arbitrarily long tracks (a former 32-observation
+    cap silently dropped the tail from the point blocks while the camera
+    block kept it, producing an inconsistent normal-equation system).
+    """
+    n_obs = obs_pt.shape[0]
     order = np.argsort(obs_pt, kind="stable")
     counts = np.bincount(obs_pt, minlength=n_points)
-    v = int(min(max(counts.max(), 2), cap))
-    idx = np.full((n_points, v), -1, np.int64)
-    valid = np.zeros((n_points, v), bool)
+    v = int(max(counts.max() if n_obs else 0, 2))
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    for p in range(n_points):
-        take = min(counts[p], v)
-        idx[p, :take] = order[starts[p] : starts[p] + take]
-        valid[p, :take] = True
+    rank = np.arange(n_obs) - starts[obs_pt[order]]
+    idx = np.full((n_points, v), -1, np.int64)
+    idx[obs_pt[order], rank] = order
+    valid = idx >= 0
     return idx, valid
 
 

@@ -30,6 +30,7 @@ import numpy as np
 from ..config import (
     CAUCHY_SCALE,
     LM_FUNCTION_TOLERANCE,
+    LM_GRADIENT_TOLERANCE,
     LM_MAX_ITERATIONS,
     LM_PARAMETER_TOLERANCE,
     SOLVE_BOUND,
@@ -190,7 +191,10 @@ def _lm_single(x0, batch_arrays, free, max_iter):
             jnp.max(jnp.abs(x)) + LM_PARAMETER_TOLERANCE
         )
         cost_small = jnp.abs(cost - new_cost) <= LM_FUNCTION_TOLERANCE * jnp.maximum(cost, 1e-20)
-        done = done | (accept & (cost_small | step_small)) | (~finite)
+        # Ceres gradient_tolerance: ||g||_inf below threshold => converged
+        # (reference: solve.cc:147-153; frozen/padded rows carry g = 0).
+        grad_small = jnp.max(jnp.abs(g)) <= LM_GRADIENT_TOLERANCE
+        done = done | (accept & (cost_small | step_small)) | grad_small | (~finite)
         cost = jnp.where(accept, new_cost, cost)
         return x, lam, cost, done, it + 1
 

@@ -16,12 +16,20 @@ components) is what shards the device solve across chips.
 from __future__ import annotations
 
 
+import sys
+
 import numpy as np
 import scipy.sparse as sp
 import scipy.sparse.csgraph as csgraph
 
 from .graph import PatchGraph
 from .tracks import Tracks
+
+#: Health counters for the most recent partition_components() call.  The
+#: spectral fallback replaces a failed Fiedler solve with a degree-sorted
+#: balanced halving — it must never fire silently (VERDICT: a fallback that
+#: can cut through dense subgraphs needs an audit trail).
+partition_stats = {"spectral_fallbacks": 0, "cuts": 0}
 
 
 def _normalized_cut_bisect(
@@ -59,8 +67,14 @@ def _normalized_cut_bisect(
                 lap, k=2, sigma=-1e-6, which="LM", v0=rng.standard_normal(n)
             )
             fiedler = vecs[:, np.argsort(vals)[1]]
-    except Exception:
+    except Exception as exc:
         # Spectral failure: fall back to a balanced split over degrees.
+        partition_stats["spectral_fallbacks"] += 1
+        print(
+            f"[partition] spectral bisection failed on a {n}-node component "
+            f"({type(exc).__name__}); using degree-sorted balanced halving",
+            file=sys.stderr,
+        )
         order = np.argsort(-deg)
         labels = np.zeros(n, dtype=np.int64)
         labels[order[: n // 2]] = 1
@@ -105,8 +119,10 @@ def _recursive_cut(
     """Recursively bisect until every subset's node-weight sum <= max_weight
     (reference: solve.cc:185-250).  Returns the next free label."""
     n = node_ids.shape[0]
-    local = {g: i for i, g in enumerate(node_ids)}
-    le = np.array([[local[a], local[b]] for a, b in edges], dtype=np.int64).reshape(-1, 2)
+    # node_ids is unique-sorted (np.unique at every call site), so global->
+    # local relabeling is a vectorized searchsorted, not a Python dict.
+    le = np.searchsorted(node_ids, edges.reshape(-1)).reshape(-1, 2)
+    partition_stats["cuts"] += 1
     labels = _normalized_cut_bisect(le, weights, n, rng)
 
     for side in (0, 1):
@@ -130,9 +146,8 @@ def _recursive_cut(
         if sub_edges.shape[0] == 0:
             # No internal edges: every node becomes its own component
             # (reference: solve.cc:355-364 re-derives components by BFS).
-            for g in ids:
-                out_labels[g] = next_label
-                next_label += 1
+            out_labels[ids] = next_label + np.arange(ids.size)
+            next_label += ids.size
             continue
         # Nodes in this side that still have edges recurse; isolated ones
         # get singleton labels.
@@ -141,9 +156,8 @@ def _recursive_cut(
         next_label = _recursive_cut(
             sub_edges, sub_weights, node_weights, touched, max_weight, rng, out_labels, next_label
         )
-        for g in untouched:
-            out_labels[g] = next_label
-            next_label += 1
+        out_labels[untouched] = next_label + np.arange(untouched.size)
+        next_label += untouched.size
     return next_label
 
 
@@ -154,6 +168,8 @@ def partition_components(
 
     The cap defaults to the number of images (reference: solve.cc:586).
     """
+    partition_stats["spectral_fallbacks"] = 0
+    partition_stats["cuts"] = 0
     n_nodes = graph.num_nodes
     if n_nodes == 0:
         return np.zeros(0, dtype=np.int64)
@@ -222,9 +238,8 @@ def partition_components(
         )
         # Tracks in the component with no meta edges become singletons.
         lonely = np.nonzero(track_mask & (final == -1))[0]
-        for t in lonely:
-            final[t] = next_label
-            next_label += 1
+        final[lonely] = next_label + np.arange(lonely.size)
+        next_label += lonely.size
 
     # After cutting, cross-cut meta edges are dropped; re-derive connected
     # components so labels equal connectivity (reference: solve.cc:345-364).

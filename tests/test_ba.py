@@ -115,3 +115,115 @@ def test_ba_focal_refinement():
     # Recovered scales: ~1/1.03 on the corrupted cameras, ~1 on fixed ones.
     np.testing.assert_allclose(np.exp(fs[2:]), 1 / 1.03, rtol=0.01)
     np.testing.assert_allclose(fs[:2], 0.0, atol=1e-12)
+
+
+def _long_track_problem(rng, n_cam, n_pts, cam_noise=0.005, pt_noise=0.02):
+    """Every point observed by EVERY camera: track length = n_cam."""
+    f = 500.0
+    points = rng.uniform(-1.0, 1.0, (n_pts, 3))
+    points[:, 2] += 6.0
+    R = np.zeros((n_cam, 3, 3))
+    t = np.zeros((n_cam, 3))
+    obs_cam, obs_pt, obs_uv = [], [], []
+    for c in range(n_cam):
+        Rc = np.asarray(ba.so3_exp(rng.normal(0, 0.02, 3)))
+        center = np.array([rng.uniform(-1, 1), rng.uniform(-1, 1), rng.uniform(-0.3, 0.3)])
+        R[c], t[c] = Rc, -Rc @ center
+        cam_pts = points @ Rc.T + t[c]
+        obs_cam.append(np.full(n_pts, c))
+        obs_pt.append(np.arange(n_pts))
+        obs_uv.append(cam_pts[:, :2] / cam_pts[:, 2:])
+    order = np.argsort(np.concatenate(obs_pt), kind="stable")
+    R_noisy, t_noisy = R.copy(), t.copy()
+    for c in range(2, n_cam):
+        R_noisy[c] = np.asarray(ba.so3_exp(rng.normal(0, cam_noise, 3))) @ R[c]
+        t_noisy[c] = t[c] + rng.normal(0, cam_noise, 3)
+    fixed = np.zeros(n_cam, bool)
+    fixed[:2] = True
+    return ba.BAProblem(
+        R_noisy, t_noisy, points + rng.normal(0, pt_noise, points.shape),
+        np.concatenate(obs_cam)[order], np.concatenate(obs_pt)[order],
+        np.concatenate(obs_uv)[order], np.full(n_cam * n_pts, f)[order], fixed,
+    )
+
+
+def _dense_gn_step(prob, free_mask, n_points):
+    """Dense reference: assemble the FULL weighted normal equations over
+    (camera params + point params) with autodiff Jacobians and solve
+    undamped Gauss-Newton, mirroring schur_step's masking/weighting."""
+    import jax
+    import jax.numpy as jnp
+
+    C = prob.R.shape[0]
+    d = ba.CAM_DOF
+    fscale = np.zeros(C)
+    r, Jc, Jp, w = ba._obs_jacobians(
+        jnp.asarray(prob.R), jnp.asarray(prob.t), jnp.asarray(fscale),
+        jnp.asarray(prob.points), jnp.asarray(prob.obs_cam),
+        jnp.asarray(prob.obs_pt), jnp.asarray(prob.obs_uv),
+        jnp.asarray(prob.obs_focal),
+    )
+    r, Jc, Jp, w = map(np.asarray, (r, Jc, Jp, w))
+    Jc = Jc * free_mask[prob.obs_cam][:, None, :]
+    sw = np.sqrt(w)[:, None, None]
+    Jc, Jp = Jc * sw, Jp * sw
+    rw = r * np.sqrt(w)[:, None]
+
+    n = d * C + 3 * n_points
+    H = np.zeros((n, n))
+    g = np.zeros(n)
+    for o in range(r.shape[0]):
+        ci, pi = prob.obs_cam[o], prob.obs_pt[o]
+        J = np.zeros((2, n))
+        J[:, d * ci : d * ci + d] = Jc[o]
+        J[:, d * C + 3 * pi : d * C + 3 * pi + 3] = Jp[o]
+        H += J.T @ J
+        g += J.T @ rw[o]
+    fflat = np.concatenate([free_mask.reshape(-1), np.ones(3 * n_points)])
+    H = H * fflat[:, None] * fflat[None, :] + np.diag(1.0 - fflat)
+    g = g * fflat
+    delta = np.linalg.solve(H, -g)
+    return delta[: d * C].reshape(C, d), delta[d * C :].reshape(n_points, 3)
+
+
+def test_schur_matches_dense_gn_long_track():
+    """A 100-observation track must produce the SAME GN step through the
+    grouped Schur path as through a dense solve (regression: a 32-obs cap
+    once made the two systems inconsistent)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    n_cam, n_pts = 100, 12
+    prob = _long_track_problem(rng, n_cam, n_pts)
+    counts = np.bincount(prob.obs_pt, minlength=n_pts)
+    assert counts.min() == n_cam  # the long-track premise
+
+    free = ba._free_mask(prob)
+    pt_idx, pt_valid = ba._group_by_point(prob.obs_pt, n_pts)
+    assert pt_idx.shape[1] == n_cam  # no silent cap
+    assert pt_valid.sum() == prob.obs_pt.shape[0]  # every obs grouped once
+
+    dc, dX = ba.schur_step(
+        jnp.asarray(prob.R), jnp.asarray(prob.t),
+        jnp.zeros(n_cam), jnp.asarray(prob.points),
+        jnp.asarray(0.0),
+        jnp.asarray(prob.obs_cam), jnp.asarray(prob.obs_pt),
+        jnp.asarray(prob.obs_uv), jnp.asarray(prob.obs_focal),
+        jnp.asarray(free), jnp.asarray(pt_idx), jnp.asarray(pt_valid),
+        n_cameras=n_cam,
+    )
+    dc_ref, dX_ref = _dense_gn_step(prob, free, n_pts)
+    scale = max(np.abs(dc_ref).max(), 1e-8)
+    np.testing.assert_allclose(np.asarray(dc), dc_ref, atol=2e-3 * scale + 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(dX), dX_ref, atol=2e-3 * max(np.abs(dX_ref).max(), 1e-8) + 1e-6
+    )
+
+
+def test_ba_long_track_descends():
+    """Full BA on the 100-camera single-visibility scene reaches the floor."""
+    rng = np.random.default_rng(8)
+    prob = _long_track_problem(rng, 100, 12, cam_noise=0.003, pt_noise=0.01)
+    _, _, _, _, cost = ba.run_ba(prob, iterations=30)
+    rms = np.sqrt(2 * cost / prob.obs_cam.shape[0])
+    assert rms < 0.05, rms

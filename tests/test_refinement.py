@@ -249,3 +249,30 @@ def test_fused_match_and_refine_parity():
     g12, g21 = ref.refine_matches(img1, kp1, img2, kp2, m)
     np.testing.assert_allclose(f_g12, g12, atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(f_g21, g21, atol=2e-4, rtol=1e-3)
+
+
+def test_fused_pair_capacity_regrows_on_overflow():
+    """max_matches is a capacity, not a cap: overflow re-dispatches larger
+    and returns ALL matches (regression: a silent 2048 truncation)."""
+    rng = np.random.default_rng(15)
+    img1, img2 = synthetic.shifted_pair(rng, 120, 160, (2, -1))
+    n = 40
+    kp1 = np.stack([rng.uniform(30, 130, n), rng.uniform(30, 90, n)], axis=1)
+    kp2 = kp1 + rng.uniform(-1, 1, (n, 2))
+    d1 = rng.standard_normal((n, 64)).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=1, keepdims=True)
+    d2 = (d1 + 0.02 * rng.standard_normal((n, 64)).astype(np.float32))
+    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+
+    ref = refinement.TwoViewRefiner(batch_size=64, rng_seed=0)
+    from lfr_tpu.ops import matchers
+
+    m, _ = matchers.match(d1, d2, "ratio", 0.95)
+    assert m.shape[0] > 8  # premise: more matches than the tiny capacity
+
+    pending = ref.process_pair(
+        img1, kp1, d1, img2, kp2, d2, "ratio", 0.95, max_matches=8
+    )
+    f_matches, f_sims, _, _ = ref.finalize_pair(pending)
+    assert ref.regrown_pairs == 1
+    np.testing.assert_array_equal(f_matches, m)
