@@ -109,12 +109,28 @@ class PANet(nn.Module):
             "bpc,bqc->bpq", fr, ft, preferred_element_type=jnp.float32
         )
 
-    def _head(self, corr: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def _head(self, corr: jnp.ndarray, train: bool, prenormalized: bool = False) -> jnp.ndarray:
         """ReLU + channel L2-norm + refine + predict.  corr: (B,17,17,289)
-        with the *source* positions as the spatial grid."""
-        corr = _l2_normalize(nn.relu(corr), axis=-1)
+        with the *source* positions as the spatial grid.  ``prenormalized``
+        skips the relu+norm when the correlation backend already applied
+        them (fused Pallas path)."""
+        if not prenormalized:
+            corr = _l2_normalize(nn.relu(corr), axis=-1)
         x = self.refine(corr.astype(self.compute_dtype), train=train)
         return self.predict(x.reshape(x.shape[0], -1).astype(jnp.float32))
+
+    def _corr_views(self, f_ref, f_tgt, sym: bool, train: bool):
+        """Normalized correlation views via the fused Pallas kernel on TPU
+        (bf16, VMEM-resident relu+norm — XLA's lowering materializes
+        several (B, 289, 289) f32 temporaries) or the jnp reference
+        elsewhere.  Training always uses the differentiable jnp path."""
+        from ..ops.correlation import corr_views
+
+        b = f_ref.shape[0]
+        fr = f_ref.reshape(b, FMAP * FMAP, -1)
+        ft = f_tgt.reshape(b, FMAP * FMAP, -1)
+        use_pallas = False if train else None
+        return corr_views(fr, ft, sym=sym, use_pallas=use_pallas)
 
     def __call__(
         self, reference: jnp.ndarray, target: jnp.ndarray, train: bool = False
@@ -123,10 +139,10 @@ class PANet(nn.Module):
         (reference: model.py:53-78).  Inputs are ImageNet-normalized NHWC."""
         b = reference.shape[0]
         feats = self.features(jnp.concatenate([reference, target], axis=0))
-        corr = self.correlation(feats[:b], feats[b:])
+        c12 = self._corr_views(feats[:b], feats[b:], sym=False, train=train)
         # corr12: spatial grid = reference positions, channels = target pos.
-        corr12 = corr.reshape(b, FMAP, FMAP, FMAP * FMAP)
-        return self._head(corr12, train)
+        corr12 = c12.reshape(b, FMAP, FMAP, FMAP * FMAP)
+        return self._head(corr12, train, prenormalized=True)
 
     def forward_sym(
         self, reference: jnp.ndarray, target: jnp.ndarray, train: bool = False
@@ -134,11 +150,11 @@ class PANet(nn.Module):
         """Both directions from one correlation volume (reference: model.py:80-108)."""
         b = reference.shape[0]
         feats = self.features(jnp.concatenate([reference, target], axis=0))
-        corr = self.correlation(feats[:b], feats[b:])
-        corr12 = corr.reshape(b, FMAP, FMAP, FMAP * FMAP)
-        corr21 = jnp.swapaxes(corr, 1, 2).reshape(b, FMAP, FMAP, FMAP * FMAP)
+        c12, c21 = self._corr_views(feats[:b], feats[b:], sym=True, train=train)
+        corr12 = c12.reshape(b, FMAP, FMAP, FMAP * FMAP)
+        corr21 = c21.reshape(b, FMAP, FMAP, FMAP * FMAP)
         both = jnp.concatenate([corr12, corr21], axis=0)
-        disp = self._head(both, train)
+        disp = self._head(both, train, prenormalized=True)
         return disp[:b], disp[b:]
 
 

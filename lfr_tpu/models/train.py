@@ -143,6 +143,82 @@ def sample_batch(
     return ref.astype(np.float32), tgt.astype(np.float32), delta.astype(np.float32)
 
 
+def sample_batch_warped(
+    rng: np.random.Generator,
+    images: list,
+    batch_size: int,
+    max_disp_px: float = 8.0,
+    jitter: float = 0.15,
+    max_rot: float = 0.25,
+    scale_range: Tuple[float, float] = (0.85, 1.18),
+    noise: float = 4.0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Warped-patch pairs: the target is the same content re-sampled at
+    center + delta through a random similarity warp (rotation + scale)
+    plus photometric jitter and sensor noise — the conditions two views of
+    a real scene impose on the alignment CNN (reference patches at
+    inference are axis-aligned crops of *different photos*,
+    two-view-refinement/refinement.py:23-43).
+
+    The warp is centered on the displaced content, so the ground-truth
+    alignment label stays -delta exactly as in :func:`sample_batch`.
+    """
+    from ..config import PATCH_SIZE
+    from ..ops.patches import patch_offsets, sample_bilinear
+
+    offs = np.asarray(patch_offsets(PATCH_SIZE))  # (ps, ps, 2)
+    margin = 56  # covers patch half-extent * max scale + displacement
+    refs, tgts, deltas = [], [], []
+    remaining = batch_size
+    img_ids = rng.integers(0, len(images), batch_size)
+    for i in np.unique(img_ids):
+        n = int((img_ids == i).sum())
+        if n <= 0:
+            continue
+        img = images[i]
+        h, w = img.shape[:2]
+        if h <= 2 * margin or w <= 2 * margin:
+            img_ids[img_ids == i] = rng.integers(0, len(images))
+            continue
+        centers = np.stack(
+            [rng.uniform(margin, h - margin, n), rng.uniform(margin, w - margin, n)],
+            axis=1,
+        )
+        delta_px = rng.uniform(-max_disp_px, max_disp_px, (n, 2))
+        theta = rng.uniform(-max_rot, max_rot, n)
+        scale = rng.uniform(scale_range[0], scale_range[1], n)
+        ca, sa = np.cos(theta) * scale, np.sin(theta) * scale
+        # (n, 2, 2) rotation+scale acting on (di, dj) offsets.
+        M = np.stack(
+            [np.stack([ca, -sa], -1), np.stack([sa, ca], -1)], axis=1
+        )
+
+        ref_coords = centers[:, None, None, :] + offs[None]
+        tgt_coords = (
+            (centers + delta_px)[:, None, None, :]
+            + np.einsum("nab,ijb->nija", M, offs)
+        )
+        import jax.numpy as jnp
+
+        ref = np.asarray(sample_bilinear(jnp.asarray(img), jnp.asarray(ref_coords)))
+        tgt = np.asarray(sample_bilinear(jnp.asarray(img), jnp.asarray(tgt_coords)))
+        # Photometric: per-sample gain/bias + gamma + gaussian noise.
+        gain = 1.0 + rng.uniform(-jitter, jitter, (n, 1, 1, 1))
+        bias = rng.uniform(-jitter, jitter, (n, 1, 1, 1)) * 255.0
+        gamma = np.exp(rng.uniform(-0.15, 0.15, (n, 1, 1, 1)))
+        tgt = np.clip(tgt * gain + bias, 0, 255)
+        tgt = 255.0 * (tgt / 255.0) ** gamma
+        tgt = np.clip(tgt + rng.normal(0, noise, tgt.shape), 0, 255)
+        refs.append(ref)
+        tgts.append(tgt)
+        deltas.append(delta_px / DISPLACEMENT_UNIT_PX)
+        remaining -= n
+    ref = np.concatenate(refs)[:batch_size]
+    tgt = np.concatenate(tgts)[:batch_size]
+    delta = np.concatenate(deltas)[:batch_size]
+    return ref.astype(np.float32), tgt.astype(np.float32), delta.astype(np.float32)
+
+
 def synthetic_images(rng: np.random.Generator, count: int = 8, h: int = 256, w: int = 256):
     return [synthetic.textured_image(rng, h, w).astype(np.float32) for _ in range(count)]
 
@@ -152,15 +228,37 @@ def train(
     batch_size: int = 64,
     learning_rate: float = 1e-3,
     image_dir: Optional[str] = None,
+    corpus: str = "synthetic",
+    warp: bool = False,
     seed: int = 0,
     log_every: int = 50,
+    eval_every: int = 500,
     compute_dtype=jnp.bfloat16,
+    checkpoint_path: Optional[str] = None,
 ) -> dict:
-    """Train PANet; returns final variables {params, batch_stats}."""
+    """Train PANet; returns final variables {params, batch_stats}.
+
+    ``corpus``: "synthetic" (random textures), "real" (locally bundled real
+    photos/textures, see utils.corpus), or use ``image_dir``.
+    ``warp``: sample targets through random similarity warps + noise
+    (recommended with real images).
+    """
     rng = np.random.default_rng(seed)
-    state, tx = create_train_state(jax.random.PRNGKey(seed), learning_rate, compute_dtype)
+    # Cosine-decayed Adam with warmup for the long real-image runs.
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, learning_rate, min(200, num_steps // 10 + 1), num_steps, learning_rate * 0.02
+    )
+    variables = panet.init_params(jax.random.PRNGKey(seed), compute_dtype)
+    tx = optax.adam(schedule)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        step=0,
+    )
     step_fn = jax.jit(make_train_step(tx, compute_dtype))
 
+    val_images = None
     if image_dir is not None:
         import os
 
@@ -172,16 +270,75 @@ def train(
                 images.append(load_image_rgb(os.path.join(image_dir, name)).astype(np.float32))
             except Exception:
                 continue
+    elif corpus == "real":
+        from ..utils.corpus import load_corpus
+
+        # Hold grace_hopper out for validation.
+        images = load_corpus(exclude=["grace_hopper"])
+        val_images = load_corpus(include_textures=False)
+        val_images = [
+            im for im in val_images if im.shape[0] == 600  # grace_hopper only
+        ] or None
+        if not images:
+            raise RuntimeError("no local real images found; use corpus='synthetic'")
+        print(f"[train] real corpus: {len(images)} images", flush=True)
     else:
         images = synthetic_images(rng)
 
+    sampler = sample_batch_warped if warp else sample_batch
+    val_batch = None
+    if val_images:
+        val_rng = np.random.default_rng(12345)
+        val_batch = sample_batch_warped(val_rng, val_images, 256)
+
+    best_val = float("inf")
+    result = None
+
+    def snapshot():
+        return {
+            "params": jax.tree_util.tree_map(np.asarray, state.params),
+            "batch_stats": jax.tree_util.tree_map(np.asarray, state.batch_stats),
+        }
+
     for step in range(num_steps):
-        ref, tgt, delta = sample_batch(rng, images, batch_size)
+        ref, tgt, delta = sampler(rng, images, batch_size)
         state, loss = step_fn(state, jnp.asarray(ref), jnp.asarray(tgt), jnp.asarray(delta))
         if log_every and step % log_every == 0:
             print(f"[train] step {step} loss {float(loss):.5f}", flush=True)
+        if val_batch is not None and eval_every and (step + 1) % eval_every == 0:
+            err = evaluate_px_error(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                val_batch,
+                compute_dtype,
+            )
+            print(f"[train] step {step + 1} val error {err:.3f} px", flush=True)
+            if err < best_val:
+                best_val = err
+                result = snapshot()
+                if checkpoint_path:
+                    from .checkpoint import save_variables
 
-    return {"params": state.params, "batch_stats": state.batch_stats}
+                    save_variables(checkpoint_path, result)
+                    print(f"[train] saved best ({err:.3f} px) -> {checkpoint_path}", flush=True)
+
+    return result if result is not None else snapshot()
+
+
+def evaluate_px_error(variables, batch, compute_dtype=jnp.bfloat16) -> float:
+    """Mean alignment error in px of d12 against the known displacement."""
+    model = panet.PANet(compute_dtype)
+    ref, tgt, delta = batch
+    d12 = []
+    for s in range(0, ref.shape[0], 128):
+        out = model.apply(
+            variables,
+            panet.normalize_patches(jnp.asarray(ref[s : s + 128])),
+            panet.normalize_patches(jnp.asarray(tgt[s : s + 128])),
+        )
+        d12.append(np.asarray(out))
+    d12 = np.concatenate(d12)
+    err = np.linalg.norm((d12 + delta) * DISPLACEMENT_UNIT_PX, axis=-1)
+    return float(err.mean())
 
 
 def main(argv=None) -> None:
@@ -196,6 +353,13 @@ def main(argv=None) -> None:
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--learning_rate", type=float, default=1e-3)
     parser.add_argument("--image_dir", default=None, help="real images (default: synthetic textures)")
+    parser.add_argument(
+        "--corpus",
+        default="synthetic",
+        choices=["synthetic", "real"],
+        help="'real' uses locally bundled photos/textures (utils.corpus)",
+    )
+    parser.add_argument("--warp", action="store_true", help="similarity-warped targets + noise")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--output", required=True, help="checkpoint path (.msgpack)")
     args = parser.parse_args(argv)
@@ -205,7 +369,10 @@ def main(argv=None) -> None:
         batch_size=args.batch_size,
         learning_rate=args.learning_rate,
         image_dir=args.image_dir,
+        corpus=args.corpus,
+        warp=args.warp,
         seed=args.seed,
+        checkpoint_path=args.output,
     )
     from .checkpoint import save_variables
 

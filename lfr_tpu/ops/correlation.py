@@ -1,16 +1,22 @@
-"""Fused 4-D correlation kernel (Pallas TPU) for the flow CNN.
+"""Fused 4-D correlation kernels (Pallas TPU) for the flow CNN.
 
 Computes, per patch pair, the dense 17x17 x 17x17 correlation volume and
-both direction-normalized views in one VMEM-resident kernel:
+its direction-normalized view(s) in one VMEM-resident kernel:
 
-    c          = f_ref @ f_tgt^T                (MXU)
+    c          = f_ref @ f_tgt^T                (MXU, f32 accumulation)
     corr12     = l2norm_rows(relu(c))           (ref positions x tgt channels)
-    corr21     = l2norm_rows(relu(c^T))
+    corr21     = l2norm_rows(relu(c^T))         (sym variant only)
 
 matching the reference's permute/normalize pipeline
-(reference: two-view-refinement/model.py:64-70,95-99) without
-materializing intermediates in HBM.  A jnp fallback with identical
-semantics serves CPU and interpret-mode testing.
+(reference: two-view-refinement/model.py:64-70,95-99).  XLA's un-fused
+lowering materializes several (B, 289, 289) float32 temporaries plus a
+transposed copy in HBM (~1.3% of peak measured); the kernel keeps the
+volume in VMEM and writes bfloat16 — the head consumes bfloat16 anyway.
+
+Inputs are zero-padded to POS_PAD lane-aligned positions; zero rows
+produce zero correlation rows whose normalization is harmless, and
+consumers slice back to the first POS positions.  A jnp fallback with
+identical semantics serves CPU and interpret-mode testing.
 """
 
 from __future__ import annotations
@@ -33,6 +39,9 @@ except Exception:  # pragma: no cover
 POS = 289
 POS_PAD = 384  # 3 * 128
 
+#: Patch pairs processed per Pallas program (VMEM: ~6 MB at 4).
+PAIRS_PER_PROGRAM = 4
+
 
 def _norm_rows(x, eps=1e-12):
     n = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
@@ -47,52 +56,109 @@ def correlation_reference(f_ref: jnp.ndarray, f_tgt: jnp.ndarray):
     return c12, c21
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def correlation_pallas(f_ref: jnp.ndarray, f_tgt: jnp.ndarray, interpret: bool = False):
-    """Pallas path: features padded to (B, POS_PAD, C); one program per pair.
+def _corr_block(fr, ft):
+    """(G, P, C) x2 -> relu'd correlation (G, P, P) f32."""
+    c = jax.lax.dot_general(
+        fr,
+        ft,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.maximum(c, 0.0)
 
-    Zero rows in the padding produce zero correlation rows/cols, whose
-    normalization is harmless (rsqrt of eps), and downstream consumers only
-    read the first POS positions.
-    """
+
+def _inv_norm(c):
+    return jax.lax.rsqrt(jnp.maximum(jnp.sum(c * c, axis=-1, keepdims=True), 1e-24))
+
+
+def _kernel_sym(fr_ref, ft_ref, c12_ref, c21_ref):
+    c = _corr_block(fr_ref[...], ft_ref[...])
+    c12_ref[...] = (c * _inv_norm(c)).astype(c12_ref.dtype)
+    ct = jnp.swapaxes(c, 1, 2)
+    c21_ref[...] = (ct * _inv_norm(ct)).astype(c21_ref.dtype)
+
+
+def _kernel_asym(fr_ref, ft_ref, c12_ref):
+    c = _corr_block(fr_ref[...], ft_ref[...])
+    c12_ref[...] = (c * _inv_norm(c)).astype(c12_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sym", "interpret", "out_dtype"))
+def correlation_pallas(
+    f_ref: jnp.ndarray,
+    f_tgt: jnp.ndarray,
+    sym: bool = True,
+    interpret: bool = False,
+    out_dtype=jnp.bfloat16,
+):
+    """Pallas path over (B, P, C) features (B divisible by PAIRS_PER_PROGRAM
+    or padded by the caller); returns (c12, c21) or c12 alone."""
     b, p, c = f_ref.shape
-    out_shape = jax.ShapeDtypeStruct((b, p, p), jnp.float32)
-    grid = (b,)
-    spec = pl.BlockSpec(
-        (1, p, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM if _HAS_PLTPU else None
-    )
-    out_spec = pl.BlockSpec(
-        (1, p, p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM if _HAS_PLTPU else None
-    )
+    g = PAIRS_PER_PROGRAM if b % PAIRS_PER_PROGRAM == 0 else 1
+    grid = (b // g,)
+    mem = pltpu.VMEM if _HAS_PLTPU else None
+    spec = pl.BlockSpec((g, p, c), lambda i: (i, 0, 0), memory_space=mem)
+    out_spec = pl.BlockSpec((g, p, p), lambda i: (i, 0, 0), memory_space=mem)
+    out_shape = jax.ShapeDtypeStruct((b, p, p), out_dtype)
 
-    def kernel(fr_ref, ft_ref, c12_ref, c21_ref):
-        fr = fr_ref[0]
-        ft = ft_ref[0]
-        cmat = jax.lax.dot_general(
-            fr, ft, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        cmat = jnp.maximum(cmat, 0.0)
-        inv12 = jax.lax.rsqrt(jnp.maximum(jnp.sum(cmat * cmat, axis=1, keepdims=True), 1e-24))
-        ct = cmat.T
-        inv21 = jax.lax.rsqrt(jnp.maximum(jnp.sum(ct * ct, axis=1, keepdims=True), 1e-24))
-        c12_ref[0] = cmat * inv12
-        c21_ref[0] = ct * inv21
-
+    if sym:
+        return pl.pallas_call(
+            _kernel_sym,
+            grid=grid,
+            in_specs=[spec, spec],
+            out_specs=(out_spec, out_spec),
+            out_shape=(out_shape, out_shape),
+            interpret=interpret,
+        )(f_ref, f_tgt)
     return pl.pallas_call(
-        kernel,
+        _kernel_asym,
         grid=grid,
         in_specs=[spec, spec],
-        out_specs=(out_spec, out_spec),
-        out_shape=(out_shape, out_shape),
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=interpret,
     )(f_ref, f_tgt)
 
 
-def fused_correlation(f_ref, f_tgt, use_pallas: bool = None, interpret: bool = False):
-    """Dispatch: Pallas on TPU, jnp elsewhere."""
+def _pad_positions(f: jnp.ndarray) -> jnp.ndarray:
+    b, p, c = f.shape
+    if p == POS_PAD:
+        return f
+    return jnp.zeros((b, POS_PAD, c), f.dtype).at[:, :p].set(f)
+
+
+def corr_views(
+    f_ref: jnp.ndarray,
+    f_tgt: jnp.ndarray,
+    sym: bool = True,
+    use_pallas: bool = None,
+    interpret: bool = False,
+):
+    """Normalized correlation view(s) with backend dispatch.
+
+    (B, P, C) features -> corr12 (B, P, P) [and corr21 if sym], already
+    relu'd + L2-normalized over the last axis.  Pallas on TPU (bfloat16
+    out), jnp elsewhere (float32 out; the head casts to its compute dtype).
+    """
     if use_pallas is None:
-        use_pallas = jax.devices()[0].platform not in ("cpu",)
+        use_pallas = _HAS_PLTPU and jax.default_backend() not in ("cpu",)
     if use_pallas or interpret:
-        return correlation_pallas(f_ref, f_tgt, interpret=interpret)
-    return correlation_reference(f_ref, f_tgt)
+        p = f_ref.shape[1]
+        fr = _pad_positions(f_ref)
+        ft = _pad_positions(f_tgt)
+        if sym:
+            c12, c21 = correlation_pallas(fr, ft, sym=True, interpret=interpret)
+            return c12[:, :p, :p], c21[:, :p, :p]
+        c12 = correlation_pallas(fr, ft, sym=False, interpret=interpret)
+        return c12[:, :p, :p]
+    c12, c21 = correlation_reference(f_ref, f_tgt)
+    if sym:
+        return c12, c21
+    return c12
+
+
+def fused_correlation(f_ref, f_tgt, use_pallas: bool = None, interpret: bool = False):
+    """Back-compat dispatch: always returns both views."""
+    return corr_views(
+        f_ref, f_tgt, sym=True, use_pallas=use_pallas, interpret=interpret
+    )

@@ -112,16 +112,14 @@ def extract_patches_separable(
         # Absolute sample coords along one axis and their integer window.
         pos = center + offs                       # (ps,)
         base = jnp.floor(pos[0]).astype(jnp.int32)
-        # Keep the window in bounds; clamped extremes degrade to edge
-        # replication (only reachable when a query overruns the margin).
+        # Keep the window in bounds; out-of-window taps lose weight (only
+        # reachable when a query overruns the reflection margin).
         base = jnp.clip(base, 0, axis_size - window)
         rel = pos - base.astype(pos.dtype)
-        k0 = jnp.floor(rel).astype(jnp.int32)
-        frac = rel - k0.astype(rel.dtype)
-        w = jnp.zeros((patch_size, window), jnp.float32)
-        rows = jnp.arange(patch_size)
-        w = w.at[rows, jnp.clip(k0, 0, window - 1)].add(1.0 - frac)
-        w = w.at[rows, jnp.clip(k0 + 1, 0, window - 1)].add(frac)
+        # Bilinear tap weights as a broadcast hat function — no scatter:
+        # column c gets weight max(0, 1 - |rel - c|).
+        cols = jnp.arange(window, dtype=jnp.float32)
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(rel[:, None] - cols[None, :]))
         return base, w
 
     def one_patch(center):
@@ -136,6 +134,58 @@ def extract_patches_separable(
         return jnp.einsum("qv,rvc->rqc", wj, tmp)
 
     return jax.vmap(one_patch)(ij.astype(jnp.float32))
+
+
+def extract_patch_grid_separable(
+    image_padded: jnp.ndarray,
+    ij: jnp.ndarray,
+    grid_step: int,
+    patch_size: int = PATCH_SIZE,
+) -> jnp.ndarray:
+    """All 9 patches of the 3x3 (+-grid_step px) offset grid per center from
+    ONE crop and two banded matmuls.
+
+    The fine refinement pass needs a patch at every (di, dj) offset with
+    di, dj in {-g, 0, +g} around each center
+    (reference: two-view-refinement/refinement.py:83-97).  Because the grid
+    offsets are integer, the 3 row-shifted interpolation stencils share one
+    crop window: stacking them into a (3*ps, W) row matrix R and a (3*ps, W)
+    column matrix C makes R @ crop @ C^T a (3*ps, 3*ps) block matrix whose
+    (a, b) block is the patch at offset (row_shift_a, col_shift_b) — all 9
+    patches from one gather instead of nine (9x fewer HBM gathers, and the
+    arithmetic runs on the MXU).
+
+    Returns (N, 9, ps, ps, C) float32, offset-major in meshgrid-ij order.
+    """
+    window = patch_size + 4 + 2 * grid_step
+    offs = jnp.linspace(-patch_size / 2.0, patch_size / 2.0, patch_size)
+    shifts = jnp.asarray([-float(grid_step), 0.0, float(grid_step)])
+    cols = jnp.arange(window, dtype=jnp.float32)
+
+    def weights(center, axis_size):
+        pos0 = center + shifts[0] + offs[0]
+        base = jnp.clip(jnp.floor(pos0).astype(jnp.int32), 0, axis_size - window)
+        # (3, ps) absolute positions -> (3*ps, W) stacked hat weights.
+        rel = (center + shifts[:, None] + offs[None, :]).reshape(-1) - base
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(rel[:, None] - cols[None, :]))
+        return base, w
+
+    nch = image_padded.shape[2]
+
+    def one(center):
+        bi, wi = weights(center[0], image_padded.shape[0])
+        bj, wj = weights(center[1], image_padded.shape[1])
+        crop = jax.lax.dynamic_slice(
+            image_padded, (bi, bj, 0), (window, window, nch)
+        ).astype(jnp.float32)
+        tmp = jnp.einsum("rw,wvc->rvc", wi, crop)
+        out = jnp.einsum("qv,rvc->rqc", wj, tmp)  # (3ps, 3ps, C)
+        out = out.reshape(3, patch_size, 3, patch_size, nch)
+        return jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(
+            9, patch_size, patch_size, nch
+        )
+
+    return jax.vmap(one)(ij.astype(jnp.float32))
 
 
 #: Reflection margin added around images for the separable fast path; must

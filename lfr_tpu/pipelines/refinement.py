@@ -26,7 +26,11 @@ import numpy as np
 
 from ..config import DEFAULT_BATCH_SIZE, DISPLACEMENT_UNIT_PX, GRID_OFFSET_PX, PATCH_SIZE
 from ..models import panet
-from ..ops.patches import REFLECT_MARGIN, extract_patches_separable
+from ..ops.patches import (
+    REFLECT_MARGIN,
+    extract_patch_grid_separable,
+    extract_patches_separable,
+)
 
 #: Image dims are padded up to multiples of this (keeps the jit cache small).
 IMAGE_BUCKET = 256
@@ -161,37 +165,47 @@ class TwoViewRefiner:
 
         @jax.jit
         def _fine_both(variables, up1, up2, ij1, ij2, c12, c21, off1, off2):
-            """Both fine directions as one program: lax.scan over the
-            2x9 (direction, grid offset) combinations, asym CNN per step.
+            """Both fine directions as one program.
+
+            All 4 x 9 patch grids are extracted up front with the one-crop
+            3x3-grid extractor (9x fewer HBM gathers than per-offset
+            extraction), then a lax.scan over the 9 grid offsets runs the
+            asym CNN on both directions at once (batch 2N — larger MXU
+            batches, 9 steps instead of 18).
 
             ij*: (N, 2) original-scale centers; off*: per-image margin
             offsets of the upsampled device images.
             """
-            offsets = jnp.asarray(_grid_offsets(octave=-1.0), jnp.float32)  # (9, 2)
+            g = int(2.0 * GRID_OFFSET_PX)  # +-16 px on the 2x image
             src12 = 2.0 * ij1 + off1
             tgt12 = 2.0 * (ij2 + c12 * DISPLACEMENT_UNIT_PX) + off2
             src21 = 2.0 * ij2 + off2
             tgt21 = 2.0 * (ij1 + c21 * DISPLACEMENT_UNIT_PX) + off1
 
-            def step(_, inputs):
-                direction, off = inputs
-                src = jnp.where(direction == 0, src12, src21) + off
-                tgt = jnp.where(direction == 0, tgt12, tgt21) + off
-                src_img = jnp.where(direction == 0, up1, up2)
-                tgt_img = jnp.where(direction == 0, up2, up1)
-                ps = panet.normalize_patches(
-                    extract_patches_separable(src_img, src, PATCH_SIZE)
-                )
-                pt = panet.normalize_patches(
-                    extract_patches_separable(tgt_img, tgt, PATCH_SIZE)
-                )
+            srcs = jnp.concatenate(
+                [
+                    extract_patch_grid_separable(up1, src12, g, PATCH_SIZE),
+                    extract_patch_grid_separable(up2, src21, g, PATCH_SIZE),
+                ],
+                axis=0,
+            )  # (2N, 9, ps, ps, 3)
+            tgts = jnp.concatenate(
+                [
+                    extract_patch_grid_separable(up2, tgt12, g, PATCH_SIZE),
+                    extract_patch_grid_separable(up1, tgt21, g, PATCH_SIZE),
+                ],
+                axis=0,
+            )
+
+            def step(_, k):
+                ps = panet.normalize_patches(srcs[:, k])
+                pt = panet.normalize_patches(tgts[:, k])
                 return None, self.model.apply(variables, ps, pt)
 
-            dirs = jnp.repeat(jnp.arange(2), 9)
-            offs = jnp.tile(offsets, (2, 1))
-            _, disp = jax.lax.scan(step, None, (dirs, offs))  # (18, N, 2)
-            fine12 = jnp.transpose(disp[:9], (1, 0, 2)).reshape(-1, 3, 3, 2)
-            fine21 = jnp.transpose(disp[9:], (1, 0, 2)).reshape(-1, 3, 3, 2)
+            _, disp = jax.lax.scan(step, None, jnp.arange(9))  # (9, 2N, 2)
+            n = ij1.shape[0]
+            fine12 = jnp.transpose(disp[:, :n], (1, 0, 2)).reshape(-1, 3, 3, 2)
+            fine21 = jnp.transpose(disp[:, n:], (1, 0, 2)).reshape(-1, 3, 3, 2)
             return fine12, fine21
 
         self._fine_both = _fine_both

@@ -4,12 +4,19 @@ This replaces the reference's thread-pool scheduling of per-component Ceres
 problems (reference: solve.cc:614-635): components are grouped by
 power-of-two node-count buckets, padded, and solved as dense batches; the
 bucket list is the unit that shards across devices.
+
+Packing is fully vectorized (flat segment gathers + 2-D scatters — no
+per-component Python loop) and exposed as a *generator*
+(:func:`iter_packed`) so the driver can dispatch batch k to the device and
+pack batch k+1 while it runs: the host pack stage overlaps device solve
+time instead of preceding it (the reference prints its cut time separately
+because that stage serializes, solve.cc:585-589).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List
+from typing import Dict, Iterator, List, Tuple
 
 import numpy as np
 
@@ -33,14 +40,26 @@ def _next_pow2(x: int, floor: int = 2) -> int:
     return n
 
 
-def pack_components(
+def _gather_segments(order, starts, ends, chunk):
+    """Flatten the ``order[starts[c]:ends[c]]`` segments of all components
+    in ``chunk``.  Returns (flat values, batch row per value, column per
+    value) — all vectorized."""
+    counts = ends[chunk] - starts[chunk]
+    total = int(counts.sum())
+    seg_off = np.repeat(starts[chunk], counts)
+    within = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+    rows = np.repeat(np.arange(len(chunk)), counts)
+    return order[seg_off + within], rows, within
+
+
+def iter_packed(
     graph: PatchGraph,
     tracks: Tracks,
     component_idx: np.ndarray,
     max_batch_elems: int = 1 << 24,
     max_batch_edges: int = 1 << 18,
-) -> PackedBuckets:
-    """Group non-singleton components into padded ComponentBatches.
+) -> Iterator[Tuple[ComponentBatch, np.ndarray]]:
+    """Yield (ComponentBatch, node_map) per padded bucket chunk.
 
     ``max_batch_elems`` caps B * (2N)^2 (dense normal equations) and
     ``max_batch_edges`` caps B * E (per-edge Jacobian temporaries) per
@@ -48,7 +67,7 @@ def pack_components(
     """
     n_nodes = graph.num_nodes
     if n_nodes == 0:
-        return PackedBuckets([], [])
+        return
 
     n_comp = int(component_idx.max()) + 1
     comp_sizes = np.bincount(component_idx, minlength=n_comp)
@@ -75,26 +94,25 @@ def pack_components(
     edge_ends = np.append(edge_starts[1:], esrc.shape[0])
 
     # Local node index within each component.
-    local_idx = np.zeros(n_nodes, dtype=np.int64)
     pos_in_sorted = np.empty(n_nodes, dtype=np.int64)
     pos_in_sorted[node_order] = np.arange(n_nodes)
     local_idx = pos_in_sorted - node_starts[component_idx]
 
-    # Bucket assignment.
-    buckets: Dict[int, List[int]] = {}
-    for c in range(n_comp):
-        size = comp_sizes[c]
-        if size <= 1:
-            continue  # singletons skipped (reference: solve.cc:619-622)
-        buckets.setdefault(_next_pow2(int(size)), []).append(c)
+    # Bucket assignment (vectorized: bucket = next pow2 of size).
+    sizes = comp_sizes
+    nonsingleton = np.nonzero(sizes > 1)[0]  # singletons skipped
+    if nonsingleton.size == 0:
+        return
+    bucket_of = 1 << np.ceil(
+        np.log2(np.maximum(sizes[nonsingleton], 2))
+    ).astype(np.int64)
+    buckets: Dict[int, np.ndarray] = {
+        int(bk): nonsingleton[bucket_of == bk] for bk in np.unique(bucket_of)
+    }
 
-    batches: List[ComponentBatch] = []
-    node_maps: List[np.ndarray] = []
     for n_bucket in sorted(buckets, reverse=True):
         comps = buckets[n_bucket]
-        e_bucket = _next_pow2(
-            max(int(edge_ends[c] - edge_starts[c]) for c in comps), floor=2
-        )
+        e_bucket = _next_pow2(int((edge_ends[comps] - edge_starts[comps]).max()))
         max_b = max(
             1,
             min(
@@ -115,27 +133,44 @@ def pack_components(
             b_nvalid = np.zeros((b, n_bucket), dtype=bool)
             b_nodemap = np.full((b, n_bucket), -1, dtype=np.int64)
 
-            for k, c in enumerate(chunk):
-                nodes = node_order[node_starts[c] : node_ends[c]]
-                nn = nodes.shape[0]
-                b_nodemap[k, :nn] = nodes
-                b_nvalid[k, :nn] = True
-                b_root[k, :nn] = tracks.is_root[nodes]
+            nodes, rows, cols = _gather_segments(
+                node_order, node_starts, node_ends, chunk
+            )
+            b_nodemap[rows, cols] = nodes
+            b_nvalid[rows, cols] = True
+            b_root[rows, cols] = tracks.is_root[nodes]
 
-                eidx = edge_order[edge_starts[c] : edge_ends[c]]
-                ne = eidx.shape[0]
-                b_esrc[k, :ne] = local_idx[esrc[eidx]]
-                b_edst[k, :ne] = local_idx[edst[eidx]]
-                b_esim[k, :ne] = esim[eidx]
-                b_eflow[k, :ne] = eflow[eidx]
-                b_eintra[k, :ne] = eintra[eidx]
-                b_evalid[k, :ne] = True
+            eidx, erows, ecols = _gather_segments(
+                edge_order, edge_starts, edge_ends, chunk
+            )
+            b_esrc[erows, ecols] = local_idx[esrc[eidx]]
+            b_edst[erows, ecols] = local_idx[edst[eidx]]
+            b_esim[erows, ecols] = esim[eidx]
+            b_eflow[erows, ecols] = eflow[eidx]
+            b_eintra[erows, ecols] = eintra[eidx]
+            b_evalid[erows, ecols] = True
 
-            batches.append(
+            yield (
                 ComponentBatch(
                     b_esrc, b_edst, b_esim, b_eflow, b_eintra, b_evalid, b_root, b_nvalid
-                )
+                ),
+                b_nodemap,
             )
-            node_maps.append(b_nodemap)
 
+
+def pack_components(
+    graph: PatchGraph,
+    tracks: Tracks,
+    component_idx: np.ndarray,
+    max_batch_elems: int = 1 << 24,
+    max_batch_edges: int = 1 << 18,
+) -> PackedBuckets:
+    """Eager wrapper over :func:`iter_packed` (kept for tests/API)."""
+    batches: List[ComponentBatch] = []
+    node_maps: List[np.ndarray] = []
+    for batch, node_map in iter_packed(
+        graph, tracks, component_idx, max_batch_elems, max_batch_edges
+    ):
+        batches.append(batch)
+        node_maps.append(node_map)
     return PackedBuckets(batches, node_maps)

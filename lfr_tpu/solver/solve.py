@@ -74,11 +74,11 @@ def solve_matches(
 
     positions = np.zeros((graph.num_nodes, 2), dtype=np.float32)
     t1 = time.time()
-    packed = buckets_mod.pack_components(graph, tracks, component_idx)
-    # Dispatch every bucket batch before syncing any result so device
-    # execution pipelines across batches.
+    # Streamed packing: each bucket batch is dispatched (async) as soon as
+    # it is packed, so the host packs batch k+1 while the device solves
+    # batch k; no result is synced until every batch is in flight.
     pending = []
-    for batch, node_map in zip(packed.batches, packed.node_maps):
+    for batch, node_map in buckets_mod.iter_packed(graph, tracks, component_idx):
         if mesh is not None:
             from ..parallel.sharded import sharded_solve_batch
 

@@ -234,6 +234,62 @@ def test_fused_correlation_pallas_interpret_matches_reference():
     f_ref = jnp.asarray(rng.standard_normal((2, 384, 128)).astype(np.float32))
     f_tgt = jnp.asarray(rng.standard_normal((2, 384, 128)).astype(np.float32))
     c12_ref, c21_ref = correlation.correlation_reference(f_ref, f_tgt)
-    c12_p, c21_p = correlation.correlation_pallas(f_ref, f_tgt, interpret=True)
+    c12_p, c21_p = correlation.correlation_pallas(
+        f_ref, f_tgt, interpret=True, out_dtype=jnp.float32
+    )
     np.testing.assert_allclose(np.asarray(c12_p), np.asarray(c12_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(c21_p), np.asarray(c21_ref), atol=1e-5)
+    # Production dtype (bf16) stays within quantization error.
+    c12_b, c21_b = correlation.correlation_pallas(f_ref, f_tgt, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(c12_b, np.float32), np.asarray(c12_ref), atol=4e-3
+    )
+    # Asym variant returns only the 1->2 view.
+    c12_a = correlation.correlation_pallas(
+        f_ref, f_tgt, sym=False, interpret=True, out_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(c12_a), np.asarray(c12_ref), atol=1e-5)
+    # Multi-pair program path (batch divisible by PAIRS_PER_PROGRAM).
+    fr4 = jnp.concatenate([f_ref, f_ref], axis=0)
+    ft4 = jnp.concatenate([f_tgt, f_tgt], axis=0)
+    c12_4, _ = correlation.correlation_pallas(
+        fr4, ft4, interpret=True, out_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(c12_4[:2]), np.asarray(c12_ref), atol=1e-5)
+    # corr_views pads 289 -> POS_PAD and slices back; the reference must
+    # also see only 289 positions (norms run over the position axis).
+    c12_289 = correlation.correlation_reference(f_ref[:, :289], f_tgt[:, :289])[0]
+    c12_v = correlation.corr_views(
+        f_ref[:, :289], f_tgt[:, :289], sym=False, use_pallas=True, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(c12_v, np.float32), np.asarray(c12_289), atol=4e-3
+    )
+
+
+def test_extract_patch_grid_matches_nine_single_extractions():
+    """The one-crop 3x3-grid extractor equals nine offset extractions."""
+    import jax.numpy as jnp
+
+    from lfr_tpu.ops.patches import (
+        extract_patch_grid_separable,
+        extract_patches_separable,
+    )
+
+    rng = np.random.default_rng(21)
+    img = jnp.asarray(rng.random((200, 220, 3)), jnp.float32)
+    centers = np.stack(
+        [rng.uniform(60, 140, 7), rng.uniform(60, 160, 7)], axis=1
+    ).astype(np.float32)
+    g = 16
+    grid = np.asarray(extract_patch_grid_separable(img, jnp.asarray(centers), g))
+    assert grid.shape == (7, 9, 33, 33, 3)
+
+    offs = np.stack(
+        np.meshgrid([-g, 0, g], [-g, 0, g], indexing="ij"), axis=-1
+    ).reshape(-1, 2)
+    for k in range(9):
+        single = np.asarray(
+            extract_patches_separable(img, jnp.asarray(centers + offs[k]), 33)
+        )
+        np.testing.assert_allclose(grid[:, k], single, atol=1e-4, rtol=1e-5)
