@@ -42,6 +42,10 @@ POS_PAD = 384  # 3 * 128
 #: Patch pairs processed per Pallas program (VMEM: ~6 MB at 4).
 PAIRS_PER_PROGRAM = 4
 
+#: The sym kernel computes c21 as a SECOND MXU matmul (ft @ fr^T) instead
+#: of transposing c in VMEM: a 384x384 f32 transpose is VPU shuffle work
+#: that measured slower than redoing the contraction on the idle MXU.
+
 
 def _norm_rows(x, eps=1e-12):
     n = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
@@ -72,9 +76,11 @@ def _inv_norm(c):
 
 
 def _kernel_sym(fr_ref, ft_ref, c12_ref, c21_ref):
-    c = _corr_block(fr_ref[...], ft_ref[...])
+    fr = fr_ref[...]
+    ft = ft_ref[...]
+    c = _corr_block(fr, ft)
     c12_ref[...] = (c * _inv_norm(c)).astype(c12_ref.dtype)
-    ct = jnp.swapaxes(c, 1, 2)
+    ct = _corr_block(ft, fr)  # MXU re-contraction beats a VMEM transpose
     c21_ref[...] = (ct * _inv_norm(ct)).astype(c21_ref.dtype)
 
 
@@ -83,18 +89,22 @@ def _kernel_asym(fr_ref, ft_ref, c12_ref):
     c12_ref[...] = (c * _inv_norm(c)).astype(c12_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("sym", "interpret", "out_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("sym", "interpret", "out_dtype", "pairs_per_program")
+)
 def correlation_pallas(
     f_ref: jnp.ndarray,
     f_tgt: jnp.ndarray,
     sym: bool = True,
     interpret: bool = False,
     out_dtype=jnp.bfloat16,
+    pairs_per_program: int = None,
 ):
-    """Pallas path over (B, P, C) features (B divisible by PAIRS_PER_PROGRAM
-    or padded by the caller); returns (c12, c21) or c12 alone."""
+    """Pallas path over (B, P, C) features (B divisible by the program group
+    size or padded by the caller); returns (c12, c21) or c12 alone."""
     b, p, c = f_ref.shape
-    g = PAIRS_PER_PROGRAM if b % PAIRS_PER_PROGRAM == 0 else 1
+    gsize = pairs_per_program or PAIRS_PER_PROGRAM
+    g = gsize if b % gsize == 0 else 1
     grid = (b // g,)
     mem = pltpu.VMEM if _HAS_PLTPU else None
     spec = pl.BlockSpec((g, p, c), lambda i: (i, 0, 0), memory_space=mem)
