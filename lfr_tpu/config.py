@@ -96,6 +96,9 @@ METHODS: Dict[str, MethodConfig] = {
     for m in [
         MethodConfig("sift", 1600, 3200, "ratio", 0.8),
         MethodConfig("surf", 1600, 3200, "ratio", 0.8),
+        # In-framework Gaussian det-of-Hessian detector (not reference-SURF;
+        # an honest extra method slot).
+        MethodConfig("doh", 1600, 3200, "ratio", 0.8),
         MethodConfig("d2-net", 1600, 2800, "similarity", 0.8),
         MethodConfig("keynet", 1600, 3200, "ratio", 0.9),
         MethodConfig("r2d2", 1600, 3200, "similarity", 0.9),

@@ -260,35 +260,107 @@ def write_ply(path: str, points3D: Dict[int, Point3D]) -> None:
             fh.write(rec.tobytes())
 
 
-def read_ply_xyz(path: str) -> np.ndarray:
-    """Read vertex positions from a simple binary or ascii PLY."""
+_PLY_TYPES = {
+    "float": "<f4", "float32": "<f4", "double": "<f8", "float64": "<f8",
+    "uchar": "u1", "uint8": "u1", "char": "i1", "int8": "i1",
+    "int": "<i4", "int32": "<i4", "uint": "<u4", "uint32": "<u4",
+    "short": "<i2", "int16": "<i2", "ushort": "<u2", "uint16": "<u2",
+}
+
+
+def read_ply_mesh(path: str):
+    """Read (vertices (N, 3) float64, faces (M, 3) int64 or None) from a
+    binary-little-endian or ascii PLY.  Faces beyond triangles are fanned
+    into triangles; meshes without a face element return ``faces=None``."""
     with open(path, "rb") as fh:
         data = fh.read()
     head_end = data.index(b"end_header\n") + len(b"end_header\n")
-    header = data[:head_end].decode("ascii").splitlines()
-    n_vertex = 0
-    props: List[str] = []
+    header = data[:head_end].decode("ascii", "replace").splitlines()
     fmt = "binary_little_endian"
+    elements = []  # (name, count, [prop spec])
     for line in header:
         parts = line.split()
+        if not parts:
+            continue
         if parts[0] == "format":
             fmt = parts[1]
-        elif parts[0] == "element" and parts[1] == "vertex":
-            n_vertex = int(parts[2])
-        elif parts[0] == "property" and len(props) < 64:
-            props.append((parts[1], parts[2]))
+        elif parts[0] == "element":
+            elements.append((parts[1], int(parts[2]), []))
+        elif parts[0] == "property" and elements:
+            if parts[1] == "list":
+                elements[-1][2].append(("list", parts[2], parts[3], parts[4]))
+            else:
+                elements[-1][2].append((parts[1], parts[2]))
+
+    xyz = None
+    faces = None
     if fmt == "ascii":
-        rows = data[head_end:].decode("ascii").split("\n")[:n_vertex]
-        vals = np.array([[float(v) for v in r.split()[:3]] for r in rows if r.strip()])
-        return vals
-    type_map = {
-        "float": "<f4", "float32": "<f4", "double": "<f8", "float64": "<f8",
-        "uchar": "u1", "uint8": "u1", "char": "i1", "int": "<i4", "uint": "<u4",
-        "short": "<i2", "ushort": "<u2",
-    }
-    dtype = np.dtype([(name, type_map[t]) for t, name in props])
-    rec = np.frombuffer(data[head_end:], dtype=dtype, count=n_vertex)
-    return np.stack([rec["x"], rec["y"], rec["z"]], axis=1).astype(np.float64)
+        rows = [r for r in data[head_end:].decode("ascii").split("\n") if r.strip()]
+        cursor = 0
+        for name, count, props in elements:
+            chunk = rows[cursor : cursor + count]
+            cursor += count
+            if name == "vertex":
+                xyz = np.array([[float(v) for v in r.split()[:3]] for r in chunk])
+            elif name == "face" and count:
+                tris = []
+                for r in chunk:
+                    vals = [int(v) for v in r.split()]
+                    k = vals[0]
+                    for i in range(1, k - 1):
+                        tris.append([vals[1], vals[1 + i], vals[2 + i]])
+                faces = np.asarray(tris, np.int64) if tris else None
+        return xyz, faces
+
+    offset = head_end
+    for name, count, props in elements:
+        if any(p[0] == "list" for p in props):
+            # List-typed element (faces): assume a uniform arity, probe it.
+            assert len(props) == 1, "mixed list/scalar face properties unsupported"
+            _, cnt_t, idx_t, _ = props[0]
+            cnt_dt = np.dtype(_PLY_TYPES[cnt_t])
+            idx_dt = np.dtype(_PLY_TYPES[idx_t])
+            if count == 0:
+                continue
+            k = int(np.frombuffer(data, dtype=cnt_dt, count=1, offset=offset)[0])
+            rec_dt = np.dtype([("n", cnt_dt), ("v", idx_dt, (k,))])
+            rec = np.frombuffer(data, dtype=rec_dt, count=count, offset=offset)
+            if not (rec["n"] == k).all():
+                # Ragged polygon list: slow path.
+                tris, pos = [], offset
+                for _ in range(count):
+                    n = int(np.frombuffer(data, cnt_dt, 1, pos)[0])
+                    pos += cnt_dt.itemsize
+                    vals = np.frombuffer(data, idx_dt, n, pos)
+                    pos += n * idx_dt.itemsize
+                    for i in range(1, n - 1):
+                        tris.append([vals[0], vals[i], vals[i + 1]])
+                offset = pos
+                if name == "face":
+                    faces = np.asarray(tris, np.int64)
+                continue
+            offset += rec_dt.itemsize * count
+            if name == "face":
+                v = rec["v"].astype(np.int64)
+                if k == 3:
+                    faces = v
+                else:
+                    faces = np.concatenate(
+                        [np.stack([v[:, 0], v[:, i], v[:, i + 1]], 1) for i in range(1, k - 1)]
+                    )
+        else:
+            dtype = np.dtype([(nm, _PLY_TYPES[t]) for t, nm in props])
+            rec = np.frombuffer(data, dtype=dtype, count=count, offset=offset)
+            offset += dtype.itemsize * count
+            if name == "vertex":
+                xyz = np.stack([rec["x"], rec["y"], rec["z"]], axis=1).astype(np.float64)
+    return xyz, faces
+
+
+def read_ply_xyz(path: str) -> np.ndarray:
+    """Read vertex positions from a simple binary or ascii PLY."""
+    xyz, _ = read_ply_mesh(path)
+    return xyz
 
 
 # ---------------------------------------------------------------------------

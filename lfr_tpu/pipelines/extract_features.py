@@ -39,6 +39,24 @@ def _sift(image: np.ndarray, max_features: int):
 
 @register_extractor("surf")
 def _surf(image: np.ndarray, max_features: int):
+    """Real SURF: box-filter det-of-Hessian + Haar extended descriptors
+    (reference: utils/extract_features_surf.py:37-58)."""
+    from ..ops.surf import extract_surf
+
+    return extract_surf(image, max_features=max_features)
+
+
+#: The reference rescales only x, y for SURF — size/angle stay at the
+#: extraction resolution (extract_features_surf.py:66-69); SIFT rescales
+#: its scale column too (extract_features_sift.py:79-111).
+_surf.scale_column = False
+
+
+@register_extractor("doh")
+def _doh(image: np.ndarray, max_features: int):
+    """Gaussian det-of-Hessian blobs with SIFT-style descriptors — kept as
+    an alternative detector under its honest name (it filled the surf slot
+    before the real SURF landed)."""
     from ..ops.doh import extract_doh
 
     return extract_doh(image, max_features=max_features)
@@ -76,7 +94,7 @@ def extract_directory(
         # (reference: extract_features_surf.py:66-69).
         keypoints = keypoints.copy()
         keypoints[:, :2] *= factor
-        if keypoints.shape[1] > 2:
+        if keypoints.shape[1] > 2 and getattr(extractor, "scale_column", True):
             keypoints[:, 2] *= factor
 
         features_io.save_features(path, keypoints, descriptors, scores, method_name=ext)

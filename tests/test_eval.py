@@ -1,0 +1,91 @@
+"""Evaluator tests: mesh PLY reading, surface sampling, accuracy modes."""
+
+import os
+
+import numpy as np
+
+from lfr_tpu.eval import eth3d
+from lfr_tpu.io.colmap_model import read_ply_mesh
+
+
+def _write_tri_ply_binary(path, xyz, faces):
+    n, m = len(xyz), len(faces)
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {n}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        f"element face {m}\n"
+        "property list uchar int vertex_indices\n"
+        "end_header\n"
+    ).encode()
+    with open(path, "wb") as fh:
+        fh.write(header)
+        fh.write(np.asarray(xyz, "<f4").tobytes())
+        rec = np.zeros(m, dtype=np.dtype([("n", "u1"), ("v", "<i4", (3,))]))
+        rec["n"] = 3
+        rec["v"] = faces
+        fh.write(rec.tobytes())
+
+
+def _write_tri_ply_ascii(path, xyz, faces):
+    with open(path, "w") as fh:
+        fh.write("ply\nformat ascii 1.0\n")
+        fh.write(f"element vertex {len(xyz)}\n")
+        fh.write("property float x\nproperty float y\nproperty float z\n")
+        fh.write(f"element face {len(faces)}\n")
+        fh.write("property list uchar int vertex_indices\nend_header\n")
+        for p in xyz:
+            fh.write(f"{p[0]} {p[1]} {p[2]}\n")
+        for f in faces:
+            fh.write(f"3 {f[0]} {f[1]} {f[2]}\n")
+
+
+UNIT_SQUARE = (
+    np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], float),
+    np.array([[0, 1, 2], [0, 2, 3]]),
+)
+
+
+def test_read_ply_mesh_binary_and_ascii(tmp_path):
+    xyz, faces = UNIT_SQUARE
+    for writer, name in [(_write_tri_ply_binary, "b.ply"), (_write_tri_ply_ascii, "a.ply")]:
+        p = os.path.join(tmp_path, name)
+        writer(p, xyz, faces)
+        vx, fc = read_ply_mesh(p)
+        np.testing.assert_allclose(vx, xyz, atol=1e-6)
+        np.testing.assert_array_equal(fc, faces)
+
+
+def test_surface_sampling_density_and_support():
+    xyz, faces = UNIT_SQUARE
+    pts = eth3d.sample_mesh_surface(xyz, faces, spacing=0.05)
+    # ~1 m^2 / (0.05 m)^2 = ~400 samples.
+    assert pts.shape[0] >= 380
+    # All samples on the z=0 plane inside the square.
+    assert np.abs(pts[:, 2]).max() < 1e-9
+    assert pts[:, :2].min() >= -1e-9 and pts[:, :2].max() <= 1 + 1e-9
+
+
+def test_accuracy_uses_surface_not_vertices(tmp_path):
+    """A point at the CENTER of a big triangle is accurate w.r.t. the
+    surface but far from every vertex — the regression the official
+    point-to-scan evaluator gets right."""
+    xyz = np.array([[0, 0, 0], [2, 0, 0], [0, 2, 0]], float)
+    faces = np.array([[0, 1, 2]])
+    scan_path = os.path.join(tmp_path, "scan.ply")
+    _write_tri_ply_binary(scan_path, xyz, faces)
+
+    center = np.array([[0.66, 0.66, 0.001]])
+    rec_path = os.path.join(tmp_path, "rec.ply")
+    _write_tri_ply_binary(rec_path, center, np.zeros((0, 3), int))
+
+    res = eth3d.evaluate_ply(rec_path, scan_path)
+    assert res["evaluation_mode"] == "surface"
+    assert res["accuracies"][0] == 1.0  # within 1 cm of the surface
+
+    res_v = eth3d.evaluate_ply(rec_path, scan_path, surface_spacing=None)
+    assert res_v["evaluation_mode"] == "vertex"
+    assert res_v["accuracies"][0] == 0.0  # ~0.93 m from nearest vertex
+
+    txt = eth3d.format_results(res)
+    assert "Evaluation-mode: surface" in txt
