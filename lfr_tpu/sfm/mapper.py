@@ -2,13 +2,22 @@
 
 In-framework replacement for ``colmap mapper``
 (reference: reconstruction-scripts/colmap_utils.py:226-294): initialize
-from the strongest verified pair, then alternate PnP registration,
-batched triangulation, and Schur-complement bundle adjustment — with the
-dense linear algebra on device and the irregular bookkeeping on host.
+from the strongest verified pair (RANSAC essential), then alternate PnP
+registration, batched triangulation, LOCAL bundle adjustment around each
+new camera, periodic global BA + retriangulation + track completion —
+with the dense linear algebra on device and the irregular bookkeeping on
+host as flat arrays.
 
-Scope notes vs COLMAP: intrinsics stay fixed at their priors (the
-reference's triangulation benchmark also fixes them, colmap_utils.py:
-302-311); a single camera model per image is assumed.
+Bookkeeping is array-based for scale: features are globally indexed
+(``base[iid] + feat``), point assignments live in one ``pid_of_g`` array,
+and the correspondence graph is CSR (``corr_start`` / ``corr_nbr``), so
+registration scans, track completion, and filtering are vectorized numpy
+passes instead of per-feature dict loops.
+
+Scope notes vs COLMAP: intrinsics stay fixed at their priors unless
+``refine_focal`` (the reference's triangulation benchmark also fixes
+them, colmap_utils.py:302-311); a single camera model per image is
+assumed.
 """
 
 from __future__ import annotations
@@ -25,6 +34,7 @@ from . import cameras as cam_mod
 from . import geometry, pnp
 from .triangulate import analyze_model
 
+import jax
 import jax.numpy as jnp
 
 
@@ -37,6 +47,9 @@ class MapperOptions:
     min_tri_angle_deg: float = 1.5
     ba_global_every: int = 5
     ba_iterations: int = 25
+    ba_local_iterations: int = 12
+    #: Covisible registered cameras freed in each local BA.
+    local_ba_neighbors: int = 5
     min_track_len: int = 2
     #: Refine per-view focal scales in BA (sensible when each image has its
     #: own camera, e.g. EXIF-bootstrapped databases).
@@ -48,16 +61,19 @@ class IncrementalMapper:
         self.opt = options or MapperOptions()
         self.db = database
         self.cameras = database.cameras()
-        self.image_info = {}  # image_id -> (name, camera_id)
+        self.image_info = {}  # image_id -> name
         for name, iid in database.image_ids().items():
             self.image_info[iid] = name
         self.image_cam = database.image_cameras()
 
-        # Per-image data.
+        # Per-image data + global feature indexing.
         self.kp: Dict[int, np.ndarray] = {}
         self.norm_uv: Dict[int, np.ndarray] = {}
         self.focal: Dict[int, float] = {}
-        for iid in self.image_info:
+        self.base: Dict[int, int] = {}
+        self.iids: List[int] = sorted(self.image_info)
+        offset = 0
+        for iid in self.iids:
             kp = database.keypoints(iid)
             self.kp[iid] = kp
             cam_row = self.cameras[self.image_cam[iid]]
@@ -68,34 +84,85 @@ class IncrementalMapper:
                 cam_row["height"],
                 cam_row["params"],
             )
-            self._cam_obj = cam
             if kp.shape[0]:
-                self.norm_uv[iid] = cam_mod.pixel_to_normalized(cam, kp[:, :2].astype(np.float64))
+                self.norm_uv[iid] = cam_mod.pixel_to_normalized(
+                    cam, kp[:, :2].astype(np.float64)
+                )
             else:
                 self.norm_uv[iid] = np.zeros((0, 2))
             self.focal[iid] = float(cam_mod.calibration_matrix(cam)[0, 0])
+            self.base[iid] = offset
+            offset += kp.shape[0]
+        self.total = offset
+        # Owner image (as index into self.iids) of every global feature.
+        self.img_of_g = np.zeros(self.total, np.int64)
+        self.iid_index = {iid: k for k, iid in enumerate(self.iids)}
+        for iid in self.iids:
+            b = self.base[iid]
+            self.img_of_g[b : b + self.kp[iid].shape[0]] = self.iid_index[iid]
+        # Flat normalized coords + per-feature focal for batch reprojection.
+        self.uv_g = (
+            np.concatenate([self.norm_uv[i] for i in self.iids])
+            if self.total
+            else np.zeros((0, 2))
+        )
+        self.focal_g = np.concatenate(
+            [np.full(self.kp[i].shape[0], self.focal[i]) for i in self.iids]
+        ) if self.total else np.zeros(0)
 
-        # Verified matches per pair + per-image correspondence index.
+        # Verified matches per pair + CSR correspondence graph over gids.
         self.pair_matches: Dict[Tuple[int, int], np.ndarray] = {}
-        self.corr: Dict[int, Dict[int, List[Tuple[int, int]]]] = {
-            iid: {} for iid in self.image_info
-        }
+        src_all, dst_all = [], []
         for id1, id2, m, _ in database.all_two_view_geometries():
             if m.shape[0] == 0:
                 continue
             self.pair_matches[(id1, id2)] = m
-            for f1, f2 in m:
-                self.corr[id1].setdefault(int(f1), []).append((id2, int(f2)))
-                self.corr[id2].setdefault(int(f2), []).append((id1, int(f1)))
+            g1 = self.base[id1] + m[:, 0].astype(np.int64)
+            g2 = self.base[id2] + m[:, 1].astype(np.int64)
+            src_all.extend([g1, g2])
+            dst_all.extend([g2, g1])
+        if src_all:
+            src = np.concatenate(src_all)
+            dst = np.concatenate(dst_all)
+            order = np.argsort(src, kind="stable")
+            self.corr_nbr = dst[order]
+            self.corr_start = np.searchsorted(
+                src[order], np.arange(self.total + 1)
+            )
+        else:
+            self.corr_nbr = np.zeros(0, np.int64)
+            self.corr_start = np.zeros(self.total + 1, np.int64)
 
         # Reconstruction state.
         self.registered: List[int] = []
+        self.registered_mask = np.zeros(len(self.iids), bool)
         self.R: Dict[int, np.ndarray] = {}
         self.t: Dict[int, np.ndarray] = {}
-        self.points: Dict[int, np.ndarray] = {}       # pid -> xyz
+        self.points: Dict[int, np.ndarray] = {}            # pid -> xyz
         self.track: Dict[int, List[Tuple[int, int]]] = {}  # pid -> [(iid, feat)]
-        self.pid_of: Dict[int, Dict[int, int]] = {iid: {} for iid in self.image_info}
+        self.track_imgs: Dict[int, set] = {}               # pid -> {iid}
+        self.pid_of_g = np.full(self.total, -1, np.int64)
         self.next_pid = 1
+
+    # -- assignment helpers ------------------------------------------------
+
+    def _gid(self, iid: int, feat: int) -> int:
+        return self.base[iid] + feat
+
+    def _assign(self, iid: int, feat: int, pid: int) -> None:
+        self.pid_of_g[self._gid(iid, feat)] = pid
+        self.track[pid].append((iid, feat))
+        self.track_imgs[pid].add(iid)
+
+    def _new_point(self, X, obs: List[Tuple[int, int]]) -> int:
+        pid = self.next_pid
+        self.next_pid += 1
+        self.points[pid] = X
+        self.track[pid] = []
+        self.track_imgs[pid] = set()
+        for iid, feat in obs:
+            self._assign(iid, feat, pid)
+        return pid
 
     # ------------------------------------------------------------------
     # Initialization
@@ -107,10 +174,28 @@ class IncrementalMapper:
             return False
         x1 = self.norm_uv[id1][m[:, 0]]
         x2 = self.norm_uv[id2][m[:, 1]]
-        # Essential from normalized coords: 8-point on normalized = E.
-        E = geometry.fundamental_8point(jnp.asarray(x1), jnp.asarray(x2))
+
+        # RANSAC essential (8-point on normalized coords = E), Sampson
+        # threshold scaled from pixels to normalized units.
+        from .verify import _ransac_fundamental
+
+        thr = self.opt.max_reproj_error_px / max(
+            self.focal[id1], self.focal[id2]
+        )
+        E, inl, n_inl = _ransac_fundamental(
+            jnp.asarray(x1, jnp.float32),
+            jnp.asarray(x2, jnp.float32),
+            jnp.ones(m.shape[0], bool),
+            jax.random.PRNGKey(0),
+            max_error=thr,
+        )
+        inl = np.asarray(inl)
+        if int(n_inl) < self.opt.init_min_num_inliers:
+            return False
+        m = m[inl]
+        x1, x2 = x1[inl], x2[inl]
         E = np.asarray(
-            geometry.essential_from_fundamental(E, jnp.eye(3), jnp.eye(3))
+            geometry.essential_from_fundamental(jnp.asarray(E), jnp.eye(3), jnp.eye(3))
         )
 
         best = None
@@ -150,18 +235,15 @@ class IncrementalMapper:
         self.R[id2] = R
         self.t[id2] = t
         self.registered = [id1, id2]
+        self.registered_mask[self.iid_index[id1]] = True
+        self.registered_mask[self.iid_index[id2]] = True
         for k in np.nonzero(good)[0]:
             f1, f2 = int(m[k, 0]), int(m[k, 1])
             err1 = self._reproj_err(id1, X[k], f1)
             err2 = self._reproj_err(id2, X[k], f2)
             if max(err1, err2) > self.opt.max_reproj_error_px:
                 continue
-            pid = self.next_pid
-            self.next_pid += 1
-            self.points[pid] = X[k]
-            self.track[pid] = [(id1, f1), (id2, f2)]
-            self.pid_of[id1][f1] = pid
-            self.pid_of[id2][f2] = pid
+            self._new_point(X[k], [(id1, f1), (id2, f2)])
         return len(self.points) >= self.opt.init_min_num_inliers // 2
 
     def _reproj_err(self, iid: int, X: np.ndarray, feat: int) -> float:
@@ -171,32 +253,80 @@ class IncrementalMapper:
         proj = c[:2] / c[2]
         return float(np.linalg.norm(proj - self.norm_uv[iid][feat]) * self.focal[iid])
 
+    def _reproj_err_batch(self, gids: np.ndarray, X: np.ndarray) -> np.ndarray:
+        """Vectorized reprojection error (px) for observation (gid, X) rows."""
+        if gids.size == 0:
+            return np.zeros(0)
+        img_idx = self.img_of_g[gids]
+        Rs = np.stack([self.R[self.iids[k]] for k in np.unique(img_idx)])
+        ts = np.stack([self.t[self.iids[k]] for k in np.unique(img_idx)])
+        remap = {k: i for i, k in enumerate(np.unique(img_idx))}
+        local = np.array([remap[k] for k in img_idx])
+        c = np.einsum("nab,nb->na", Rs[local], X) + ts[local]
+        z = c[:, 2]
+        bad = z <= 1e-9
+        proj = c[:, :2] / np.where(bad[:, None], 1.0, z[:, None])
+        err = np.linalg.norm(proj - self.uv_g[gids], axis=1) * self.focal_g[gids]
+        return np.where(bad, np.inf, err)
+
     # ------------------------------------------------------------------
     # Registration
     # ------------------------------------------------------------------
 
-    def _visible_points(self, iid: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """2D-3D correspondences for an unregistered image."""
-        feats, pids = [], []
-        for feat, others in self.corr[iid].items():
-            counts: Dict[int, int] = {}
-            for oid, ofeat in others:
-                pid = self.pid_of.get(oid, {}).get(ofeat)
-                if pid is not None:
-                    counts[pid] = counts.get(pid, 0) + 1
-            if counts:
-                pid = max(counts, key=counts.get)
-                feats.append(feat)
-                pids.append(pid)
-        if not feats:
-            return np.zeros((0, 3)), np.zeros((0, 2)), np.zeros(0, np.int64)
-        X = np.stack([self.points[p] for p in pids])
-        uv = self.norm_uv[iid][np.asarray(feats)]
-        return X, uv, np.stack([np.asarray(feats), np.asarray(pids)], axis=1)
+    def _vote_pids(self, gids_lo: int, gids_hi: int):
+        """For every unassigned feature in [lo, hi), majority-vote the pid
+        its correspondences map to.  Returns (feat_gids, pids, votes)."""
+        lo_ptr = self.corr_start[gids_lo]
+        hi_ptr = self.corr_start[gids_hi]
+        if hi_ptr == lo_ptr:
+            return (np.zeros(0, np.int64),) * 3
+        nbr = self.corr_nbr[lo_ptr:hi_ptr]
+        counts = np.diff(self.corr_start[gids_lo : gids_hi + 1])
+        src = np.repeat(np.arange(gids_lo, gids_hi), counts)
+        pids = self.pid_of_g[nbr]
+        keep = (pids >= 0) & (self.pid_of_g[src] < 0)
+        if not keep.any():
+            return (np.zeros(0, np.int64),) * 3
+        src, pids = src[keep], pids[keep]
+        # Count votes per (src, pid) pair, then argmax per src.
+        order = np.lexsort((pids, src))
+        src, pids = src[order], pids[order]
+        boundary = np.ones(src.size, bool)
+        boundary[1:] = (src[1:] != src[:-1]) | (pids[1:] != pids[:-1])
+        group_ids = np.cumsum(boundary) - 1
+        votes = np.bincount(group_ids)
+        g_src = src[boundary]
+        g_pid = pids[boundary]
+        # Per src, keep the pid with most votes.
+        best = {}
+        vorder = np.argsort(-votes, kind="stable")
+        for i in vorder:
+            s = g_src[i]
+            if s not in best:
+                best[s] = (g_pid[i], votes[i])
+        if not best:
+            return (np.zeros(0, np.int64),) * 3
+        f = np.array(sorted(best), np.int64)
+        p = np.array([best[s][0] for s in f], np.int64)
+        v = np.array([best[s][1] for s in f], np.int64)
+        return f, p, v
+
+    def _visible_points(self, iid: int):
+        """2D-3D correspondences for an unregistered image (vectorized)."""
+        lo = self.base[iid]
+        hi = lo + self.kp[iid].shape[0]
+        f, p, _ = self._vote_pids(lo, hi)
+        live = np.array([pid in self.points for pid in p], bool) if p.size else p.astype(bool)
+        f, p = f[live], p[live]
+        if f.size == 0:
+            return np.zeros((0, 3)), np.zeros((0, 2)), np.zeros((0, 2), np.int64)
+        X = np.stack([self.points[pid] for pid in p])
+        uv = self.uv_g[f]
+        return X, uv, np.stack([f - lo, p], axis=1)
 
     def _register_next(self) -> Optional[int]:
         candidates = []
-        for iid in self.image_info:
+        for iid in self.iids:
             if iid in self.R:
                 continue
             X, uv, fp = self._visible_points(iid)
@@ -213,14 +343,16 @@ class IncrementalMapper:
             self.R[iid] = R
             self.t[iid] = t
             self.registered.append(iid)
+            self.registered_mask[self.iid_index[iid]] = True
             # Attach inlier observations to their tracks.
             for k in np.nonzero(inliers)[0]:
                 feat, pid = int(fp[k, 0]), int(fp[k, 1])
-                if feat in self.pid_of[iid] or pid not in self.points:
+                if self.pid_of_g[self._gid(iid, feat)] >= 0 or pid not in self.points:
+                    continue
+                if iid in self.track_imgs[pid]:
                     continue
                 if self._reproj_err(iid, self.points[pid], feat) <= self.opt.max_reproj_error_px:
-                    self.pid_of[iid][feat] = pid
-                    self.track[pid].append((iid, feat))
+                    self._assign(iid, feat, pid)
             return iid
         return None
 
@@ -231,37 +363,39 @@ class IncrementalMapper:
     def _triangulate_new(self, iid: int) -> int:
         """Create points from matches between iid and registered images.
 
-        All candidate pairs triangulate in ONE batched DLT call; gating
-        (finiteness, reprojection, angle) is vectorized, and only the
-        final feature-assignment conflict resolution is sequential.
+        Candidate collection, DLT, and gating are fully vectorized; only
+        the final one-point-per-feature conflict resolution is sequential.
         """
-        cands: List[Tuple[int, int, int]] = []  # (feat, oid, ofeat)
-        for feat, others in self.corr[iid].items():
-            if feat in self.pid_of[iid]:
-                continue
-            for oid, ofeat in others:
-                if oid in self.R and ofeat not in self.pid_of[oid]:
-                    cands.append((feat, oid, ofeat))
-        if not cands:
+        lo = self.base[iid]
+        hi = lo + self.kp[iid].shape[0]
+        lo_ptr, hi_ptr = self.corr_start[lo], self.corr_start[hi]
+        if hi_ptr == lo_ptr:
             return 0
+        nbr = self.corr_nbr[lo_ptr:hi_ptr]
+        counts = np.diff(self.corr_start[lo : hi + 1])
+        src = np.repeat(np.arange(lo, hi), counts)
+        cand = (
+            (self.pid_of_g[src] < 0)
+            & (self.pid_of_g[nbr] < 0)
+            & self.registered_mask[self.img_of_g[nbr]]
+        )
+        if not cand.any():
+            return 0
+        src, nbr = src[cand], nbr[cand]
+        feats = src - lo
+        n = src.size
 
-        feats = np.array([c[0] for c in cands])
-        oids = np.array([c[1] for c in cands])
-        ofeats = np.array([c[2] for c in cands])
-        n = len(cands)
+        oid_idx = self.img_of_g[nbr]
+        uniq = np.unique(oid_idx)
+        Ro = np.stack([self.R[self.iids[k]] for k in uniq])
+        to = np.stack([self.t[self.iids[k]] for k in uniq])
+        remap = {k: i for i, k in enumerate(uniq)}
+        local = np.array([remap[k] for k in oid_idx])
 
         P1 = np.concatenate([self.R[iid], self.t[iid][:, None]], axis=1)
-        P2 = np.stack(
-            [np.concatenate([self.R[o], self.t[o][:, None]], axis=1) for o in oids]
-        )
+        P2 = np.concatenate([Ro[local], to[local][:, :, None]], axis=2)
         P = np.stack([np.tile(P1, (n, 1, 1)), P2], axis=1)
-        uv = np.stack(
-            [
-                self.norm_uv[iid][feats],
-                np.stack([self.norm_uv[o][f] for o, f in zip(oids, ofeats)]),
-            ],
-            axis=1,
-        )
+        uv = np.stack([self.uv_g[src], self.uv_g[nbr]], axis=1)
         X = np.asarray(
             geometry.triangulate_dlt_batch(
                 jnp.asarray(P), jnp.asarray(uv), jnp.ones((n, 2), bool)
@@ -270,23 +404,19 @@ class IncrementalMapper:
 
         # Vectorized gating.
         ok = np.isfinite(X).all(axis=1)
-        c1 = (X @ self.R[iid].T + self.t[iid])
+        c1 = X @ self.R[iid].T + self.t[iid]
         z1 = c1[:, 2]
         proj1 = c1[:, :2] / np.where(np.abs(z1[:, None]) < 1e-12, 1e-12, z1[:, None])
-        e1 = np.linalg.norm(proj1 - self.norm_uv[iid][feats], axis=1) * self.focal[iid]
-        Ro = np.stack([self.R[o] for o in oids])
-        to = np.stack([self.t[o] for o in oids])
-        c2 = np.einsum("nab,nb->na", Ro, X) + to
+        e1 = np.linalg.norm(proj1 - self.uv_g[src], axis=1) * self.focal[iid]
+        c2 = np.einsum("nab,nb->na", Ro[local], X) + to[local]
         z2 = c2[:, 2]
         proj2 = c2[:, :2] / np.where(np.abs(z2[:, None]) < 1e-12, 1e-12, z2[:, None])
-        uv2 = np.stack([self.norm_uv[o][f] for o, f in zip(oids, ofeats)])
-        f2 = np.array([self.focal[o] for o in oids])
-        e2 = np.linalg.norm(proj2 - uv2, axis=1) * f2
+        e2 = np.linalg.norm(proj2 - self.uv_g[nbr], axis=1) * self.focal_g[nbr]
         ok &= (z1 > 0) & (z2 > 0)
         ok &= np.maximum(e1, e2) <= self.opt.max_reproj_error_px
 
         center1 = -self.R[iid].T @ self.t[iid]
-        centers2 = -np.einsum("nba,nb->na", Ro, to)
+        centers2 = -np.einsum("nba,nb->na", Ro[local], to[local])
         d1 = X - center1
         d2 = X - centers2
         cosang = np.sum(d1 * d2, axis=1) / np.maximum(
@@ -298,29 +428,31 @@ class IncrementalMapper:
         # Sequential conflict resolution (one point per feature).
         new = 0
         for k in np.nonzero(ok)[0]:
-            feat, oid, ofeat = int(feats[k]), int(oids[k]), int(ofeats[k])
-            if feat in self.pid_of[iid] or ofeat in self.pid_of[oid]:
+            if self.pid_of_g[src[k]] >= 0 or self.pid_of_g[nbr[k]] >= 0:
                 continue
-            pid = self.next_pid
-            self.next_pid += 1
-            self.points[pid] = X[k]
-            self.track[pid] = [(iid, feat), (oid, ofeat)]
-            self.pid_of[iid][feat] = pid
-            self.pid_of[oid][ofeat] = pid
+            oid = self.iids[oid_idx[k]]
+            self._new_point(
+                X[k], [(iid, int(feats[k])), (oid, int(nbr[k] - self.base[oid]))]
+            )
             new += 1
         return new
+
+    def _retriangulate(self) -> int:
+        """Retry triangulation of still-unassigned features of every
+        registered image (COLMAP's retriangulation pass after global BA —
+        filtered/failed tracks get a second chance with better poses)."""
+        total = 0
+        for iid in self.registered:
+            total += self._triangulate_new(iid)
+        return total
 
     # ------------------------------------------------------------------
     # Bundle adjustment + filtering
     # ------------------------------------------------------------------
 
-    def _run_ba(self, fix_first_two: bool = True) -> None:
-        if len(self.registered) < 2 or not self.points:
-            return
-        cam_index = {iid: k for k, iid in enumerate(self.registered)}
-        pids = sorted(self.points)
+    def _collect_obs(self, cam_ids: List[int], pids: List[int]):
+        cam_index = {iid: k for k, iid in enumerate(cam_ids)}
         pt_index = {pid: k for k, pid in enumerate(pids)}
-
         obs_cam, obs_pt, obs_uv, obs_f = [], [], [], []
         for pid in pids:
             for iid, feat in self.track[pid]:
@@ -330,82 +462,179 @@ class IncrementalMapper:
                 obs_pt.append(pt_index[pid])
                 obs_uv.append(self.norm_uv[iid][feat])
                 obs_f.append(self.focal[iid])
-        obs_pt = np.asarray(obs_pt)
+        obs_pt = np.asarray(obs_pt, np.int64)
         order = np.argsort(obs_pt, kind="stable")
-
-        # Gauge fixing: camera 0's full pose + one translation axis of
-        # camera 1 (7 similarity dofs); everything else moves freely.
-        fixed = np.zeros((len(self.registered), 6), bool)
-        fixed[0, :] = True
-        if len(self.registered) > 1:
-            axis = int(np.argmax(np.abs(self.t[self.registered[1]])))
-            fixed[1, 3 + axis] = True
-
-        problem = ba_mod.BAProblem(
-            np.stack([self.R[i] for i in self.registered]),
-            np.stack([self.t[i] for i in self.registered]),
-            np.stack([self.points[p] for p in pids]),
-            np.asarray(obs_cam)[order],
+        return (
+            np.asarray(obs_cam, np.int64)[order],
             obs_pt[order],
             np.asarray(obs_uv)[order],
             np.asarray(obs_f)[order],
-            fixed,
-            refine_focal=self.opt.refine_focal,
+            cam_index,
+            pt_index,
         )
-        R, t, fscale, X, _ = ba_mod.run_ba(problem, iterations=self.opt.ba_iterations)
+
+    def _run_ba(self, local_around: Optional[int] = None) -> None:
+        """Global BA, or local BA over ``local_around``'s neighborhood.
+
+        Local mode (COLMAP's per-registration local BA): free the new
+        camera plus its most covisible registered neighbors; cameras
+        outside the neighborhood that observe the same points stay in the
+        problem with frozen poses, so their residuals still constrain the
+        shared structure.
+        """
+        if len(self.registered) < 2 or not self.points:
+            return
+
+        if local_around is None:
+            cam_ids = list(self.registered)
+            pids = sorted(self.points)
+            free_set = set(cam_ids)
+            iterations = self.opt.ba_iterations
+        else:
+            # Points seen by the new camera; covisibility-ranked neighbors.
+            pids = sorted(
+                {
+                    pid
+                    for pid in self.pid_of_g[
+                        self.base[local_around] : self.base[local_around]
+                        + self.kp[local_around].shape[0]
+                    ]
+                    if pid >= 0 and pid in self.points
+                }
+            )
+            if not pids:
+                return
+            covis: Dict[int, int] = {}
+            cams_involved = set()
+            for pid in pids:
+                for iid, _ in self.track[pid]:
+                    cams_involved.add(iid)
+                    if iid != local_around:
+                        covis[iid] = covis.get(iid, 0) + 1
+            neighbors = sorted(covis, key=covis.get, reverse=True)[
+                : self.opt.local_ba_neighbors
+            ]
+            free_set = set(neighbors) | {local_around}
+            cam_ids = sorted(cams_involved, key=lambda i: self.registered.index(i))
+            iterations = self.opt.ba_local_iterations
+
+        obs_cam, obs_pt, obs_uv, obs_f, cam_index, pt_index = self._collect_obs(
+            cam_ids, pids
+        )
+        if obs_cam.size == 0:
+            return
+
+        # Gauge fixing: in global mode freeze camera 0 + one translation
+        # axis of camera 1; in local mode the frozen non-neighborhood
+        # cameras (there is always at least one early camera) fix the
+        # gauge, falling back to the global rule if everything is free.
+        fixed = np.zeros((len(cam_ids), 6), bool)
+        frozen = [i for i in cam_ids if i not in free_set]
+        if frozen:
+            for iid in frozen:
+                fixed[cam_index[iid], :] = True
+        if len(frozen) < 1 or local_around is None:
+            anchor = cam_index.get(self.registered[0])
+            if anchor is not None:
+                fixed[anchor, :] = True
+            if len(self.registered) > 1:
+                second = cam_index.get(self.registered[1])
+                if second is not None:
+                    axis = int(np.argmax(np.abs(self.t[self.registered[1]])))
+                    fixed[second, 3 + axis] = True
+
+        problem = ba_mod.BAProblem(
+            np.stack([self.R[i] for i in cam_ids]),
+            np.stack([self.t[i] for i in cam_ids]),
+            np.stack([self.points[p] for p in pids]),
+            obs_cam,
+            obs_pt,
+            obs_uv,
+            obs_f,
+            fixed,
+            refine_focal=self.opt.refine_focal and local_around is None,
+        )
+        R, t, fscale, X, _ = ba_mod.run_ba(problem, iterations=iterations)
         for iid, k in cam_index.items():
+            if iid not in free_set:
+                continue
             self.R[iid] = R[k]
             self.t[iid] = t[k]
-            if self.opt.refine_focal and fscale[k] != 0.0:
+            if problem.refine_focal and fscale[k] != 0.0:
                 # Fold the refined focal into this view's observations so
                 # later rounds (and _reproj_err) stay consistent: with
                 # f1 = f0*exp(s), norm_uv_new = norm_uv * f0/f1.
                 ratio = float(np.exp(fscale[k]))
                 self.focal[iid] *= ratio
                 self.norm_uv[iid] = self.norm_uv[iid] / ratio
+                b = self.base[iid]
+                n_i = self.kp[iid].shape[0]
+                self.uv_g[b : b + n_i] = self.norm_uv[iid]
+                self.focal_g[b : b + n_i] = self.focal[iid]
         for pid, k in pt_index.items():
             self.points[pid] = X[k]
 
     def _complete_tracks(self) -> int:
         """Attach unassigned features of registered images to existing
-        points they match (COLMAP's track-completion role)."""
+        points they match (COLMAP's track-completion role).  Vote
+        collection and the reprojection gate are vectorized."""
         added = 0
         for iid in self.registered:
-            for feat, others in self.corr[iid].items():
-                if feat in self.pid_of[iid]:
+            lo = self.base[iid]
+            hi = lo + self.kp[iid].shape[0]
+            f, p, _ = self._vote_pids(lo, hi)
+            if f.size == 0:
+                continue
+            live = np.array([pid in self.points for pid in p], bool)
+            f, p = f[live], p[live]
+            if f.size == 0:
+                continue
+            X = np.stack([self.points[pid] for pid in p])
+            errs = self._reproj_err_batch(f, X)
+            good = errs <= self.opt.max_reproj_error_px
+            for gid, pid in zip(f[good], p[good]):
+                if self.pid_of_g[gid] >= 0 or iid in self.track_imgs[pid]:
                     continue
-                counts: Dict[int, int] = {}
-                for oid, ofeat in others:
-                    pid = self.pid_of.get(oid, {}).get(ofeat)
-                    if pid is not None and pid in self.points:
-                        counts[pid] = counts.get(pid, 0) + 1
-                if not counts:
-                    continue
-                pid = max(counts, key=counts.get)
-                if self._reproj_err(iid, self.points[pid], feat) <= self.opt.max_reproj_error_px:
-                    self.pid_of[iid][feat] = pid
-                    self.track[pid].append((iid, feat))
-                    added += 1
+                self._assign(iid, int(gid - lo), int(pid))
+                added += 1
         return added
 
     def _filter_points(self) -> int:
+        """Drop high-error observations and short tracks (batched errors)."""
+        if not self.points:
+            return 0
+        pids_all, gids, Xs = [], [], []
+        for pid, track in self.track.items():
+            for iid, f in track:
+                if iid in self.R:
+                    pids_all.append(pid)
+                    gids.append(self._gid(iid, f))
+                    Xs.append(self.points[pid])
+        if not gids:
+            return 0
+        gids = np.asarray(gids, np.int64)
+        errs = self._reproj_err_batch(gids, np.stack(Xs))
+        bad = errs > self.opt.max_reproj_error_px
+        bad_set = set(map(int, gids[bad]))
+
         removed = 0
         for pid in list(self.points):
             track = [
                 (iid, f)
                 for iid, f in self.track[pid]
-                if iid in self.R
-                and self._reproj_err(iid, self.points[pid], f) <= self.opt.max_reproj_error_px
+                if iid in self.R and self._gid(iid, f) not in bad_set
             ]
             dropped = [obs for obs in self.track[pid] if obs not in track]
             for iid, f in dropped:
-                self.pid_of[iid].pop(f, None)
+                self.pid_of_g[self._gid(iid, f)] = -1
             self.track[pid] = track
+            self.track_imgs[pid] = {iid for iid, _ in track}
             if len(track) < self.opt.min_track_len:
                 for iid, f in track:
-                    self.pid_of[iid].pop(f, None)
+                    self.pid_of_g[self._gid(iid, f)] = -1
                 del self.points[pid]
                 del self.track[pid]
+                del self.track_imgs[pid]
                 removed += 1
         return removed
 
@@ -419,12 +648,15 @@ class IncrementalMapper:
             if self._try_initialize(id1, id2):
                 initialized = True
                 if verbose:
-                    print(f"[mapper] initialized with ({self.image_info[id1]}, {self.image_info[id2]}), {len(self.points)} points")
+                    print(
+                        f"[mapper] initialized with ({self.image_info[id1]}, "
+                        f"{self.image_info[id2]}), {len(self.points)} points"
+                    )
                 break
         if not initialized:
             return None
 
-        self._run_ba(fix_first_two=True)
+        self._run_ba()
         self._filter_points()
 
         since_global = 0
@@ -433,18 +665,24 @@ class IncrementalMapper:
             if iid is None:
                 break
             n_new = self._triangulate_new(iid)
+            # Local BA around every newly registered camera (colmap
+            # mapper behavior; keeps drift bounded between global rounds).
+            self._run_ba(local_around=iid)
             since_global += 1
             if since_global >= self.opt.ba_global_every:
-                self._run_ba(fix_first_two=True)
+                self._run_ba()
                 self._filter_points()
+                self._retriangulate()
+                self._complete_tracks()
                 since_global = 0
             if verbose:
                 print(
                     f"[mapper] registered {self.image_info[iid]} "
                     f"({len(self.registered)}/{len(self.image_info)}), +{n_new} points"
                 )
+        self._retriangulate()
         self._complete_tracks()
-        self._run_ba(fix_first_two=True)
+        self._run_ba()
         self._filter_points()
 
         return self._to_model()
@@ -462,10 +700,9 @@ class IncrementalMapper:
         for iid in self.registered:
             kp = self.kp[iid]
             xys = kp[:, :2].astype(np.float64) if kp.shape[0] else np.zeros((0, 2))
-            pids = np.full(xys.shape[0], -1, np.int64)
-            for feat, pid in self.pid_of[iid].items():
-                if pid in self.points:
-                    pids[feat] = pid
+            b = self.base[iid]
+            pids = self.pid_of_g[b : b + xys.shape[0]].copy()
+            pids[~np.isin(pids, list(self.points))] = -1
             model.images[iid] = model_mod.Image(
                 iid,
                 model_mod.rotmat_to_qvec(self.R[iid]),

@@ -35,10 +35,14 @@ from . import geometry
 
 
 @functools.partial(jax.jit, static_argnames=("num_hypotheses",))
-def _ransac_fundamental(x1, x2, valid, key, num_hypotheses: int = NUM_HYPOTHESES):
+def _ransac_fundamental(
+    x1, x2, valid, key, num_hypotheses: int = NUM_HYPOTHESES, max_error=MAX_ERROR_PX
+):
     """Batched-hypothesis RANSAC for F.
 
     x1, x2: (N, 2) padded correspondences; valid: (N,) mask.
+    ``max_error``: Sampson threshold in the coordinate units of x1/x2
+    (pixels by default; scale by 1/focal for normalized coordinates).
     Returns (F_best, inlier_mask, num_inliers).
     """
     n = x1.shape[0]
@@ -52,7 +56,7 @@ def _ransac_fundamental(x1, x2, valid, key, num_hypotheses: int = NUM_HYPOTHESES
     def one_hypothesis(sample_idx):
         F = geometry.fundamental_8point(x1[sample_idx], x2[sample_idx])
         err = geometry.sampson_error(F, x1, x2)
-        inl = (err <= MAX_ERROR_PX**2) & valid
+        inl = (err <= max_error**2) & valid
         return F, jnp.sum(inl)
 
     Fs, scores = jax.vmap(one_hypothesis)(idx)
@@ -62,13 +66,13 @@ def _ransac_fundamental(x1, x2, valid, key, num_hypotheses: int = NUM_HYPOTHESES
     # Local optimization: two weighted refits on the inlier set.
     def refit(F, _):
         err = geometry.sampson_error(F, x1, x2)
-        w = ((err <= MAX_ERROR_PX**2) & valid).astype(jnp.float32)
+        w = ((err <= max_error**2) & valid).astype(jnp.float32)
         F2 = geometry.fundamental_8point(x1, x2, w)
         return F2, None
 
     F, _ = jax.lax.scan(refit, F, None, length=2)
     err = geometry.sampson_error(F, x1, x2)
-    inliers = (err <= MAX_ERROR_PX**2) & valid
+    inliers = (err <= max_error**2) & valid
     return F, inliers, jnp.sum(inliers)
 
 

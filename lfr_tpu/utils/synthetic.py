@@ -312,8 +312,13 @@ def random_scene(
     width: int = 640,
     height: int = 480,
     noise_px: float = 0.0,
+    arc_step: float = 0.15,
 ) -> Scene:
-    """Cameras on an arc looking at a point cloud near the origin."""
+    """Cameras on an arc looking at a point cloud near the origin.
+
+    ``arc_step``: angular spacing (rad) between cameras — shrink it for
+    many-camera rigs so the far ends of the arc still see the cloud.
+    """
     points = rng.uniform(-1.0, 1.0, (num_points, 3))
     points[:, 2] += 6.0
 
@@ -322,7 +327,7 @@ def random_scene(
 
     rotations, translations, observations, visible = [], [], [], []
     for c in range(num_cameras):
-        angle = (c - (num_cameras - 1) / 2) * 0.15
+        angle = (c - (num_cameras - 1) / 2) * arc_step
         Ry = np.array(
             [
                 [np.cos(angle), 0, np.sin(angle)],
@@ -330,7 +335,7 @@ def random_scene(
                 [-np.sin(angle), 0, np.cos(angle)],
             ]
         )
-        center = np.array([2.5 * np.sin(angle), 0.2 * c, 6.0 - 6.0 * np.cos(angle)])
+        center = np.array([2.5 * np.sin(angle), 0.2 * c * (arc_step / 0.15), 6.0 - 6.0 * np.cos(angle)])
         R = Ry
         t = -R @ center
         cam_pts = points @ R.T + t

@@ -89,3 +89,52 @@ def test_mapper_scales_to_more_cameras(tmp_path):
     assert stats["num_reg_images"] == 8
     assert stats["num_sparse_points"] > 150
     assert stats["mean_reproj_error"] < 1.0
+
+
+def test_mapper_20_cameras_noisy_with_outliers(tmp_path):
+    """VERDICT target: 20-camera scene, pixel noise AND outlier matches.
+
+    Exercises RANSAC initialization, local BA per registration, periodic
+    retriangulation, and the array-based bookkeeping at a scale where the
+    old per-feature dict loops were the bottleneck."""
+    import time
+
+    from test_sfm import _scene_to_db_and_model
+
+    from lfr_tpu.sfm import mapper
+
+    rng = np.random.default_rng(11)
+    scene = synthetic.random_scene(
+        rng, num_points=300, num_cameras=20, noise_px=0.4, arc_step=0.05
+    )
+    db, _ = _scene_to_db_and_model(
+        scene, tmp_path, noise=0.4, outlier_frac=0.15, seed=11
+    )
+    t0 = time.perf_counter()
+    model, stats = mapper.reconstruct(db, verbose=False)
+    elapsed = time.perf_counter() - t0
+    assert model is not None
+    assert stats["num_reg_images"] == 20, stats
+    assert stats["num_sparse_points"] > 150
+    assert stats["mean_reproj_error"] < 1.2, stats
+    assert stats["mean_track_length"] > 4.0, stats
+    # Bookkeeping sanity: generous wall-clock bound that the dict-based
+    # implementation blew through at this scale.
+    assert elapsed < 300, f"mapper took {elapsed:.1f}s"
+
+
+def test_local_ba_keeps_drift_bounded(tmp_path):
+    """With global BA turned OFF (huge interval), per-registration local
+    BA alone must keep the chained reconstruction consistent."""
+    from test_sfm import _scene_to_db_and_model
+
+    from lfr_tpu.sfm import mapper
+
+    rng = np.random.default_rng(13)
+    scene = synthetic.random_scene(rng, num_points=200, num_cameras=8, noise_px=0.3)
+    db, _ = _scene_to_db_and_model(scene, tmp_path, noise=0.3, seed=13)
+    opts = mapper.MapperOptions(ba_global_every=10_000)
+    model, stats = mapper.reconstruct(db, options=opts, verbose=False)
+    assert model is not None
+    assert stats["num_reg_images"] == 8
+    assert stats["mean_reproj_error"] < 1.5, stats
