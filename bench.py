@@ -6,7 +6,10 @@ available accelerator, and compares against the reference implementation's
 throughput on this host's CPU (the reference is CUDA/torch; torch-cpu is
 its only runnable form here; see tests/test_panet.py's oracle).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Also reports the roofline view: FLOPs per refined match, achieved
+TFLOP/s, and percent of the chip's bf16 peak (MFU).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -21,7 +24,48 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: 4-core CPU with scripts/bench_torch_baseline.py (5.71 matches/s).
 TORCH_CPU_MATCHES_PER_S = 5.71
 
+#: v5e bf16 peak (TFLOP/s per chip).
+V5E_BF16_PEAK = 197.0
+
 N_MATCHES = 1024
+
+
+def _conv_flops(h, w, kh, kw, cin, cout):
+    return h * w * kh * kw * cin * cout * 2
+
+
+def flops_per_match() -> float:
+    """Model FLOPs of one refined match: coarse sym + 18 asym fine passes
+    through backbone + correlation + head (see scripts/profile_stages.py)."""
+    backbone = (
+        _conv_flops(33, 33, 3, 3, 3, 64)
+        + _conv_flops(33, 33, 3, 3, 64, 64)
+        + _conv_flops(17, 17, 3, 3, 64, 128)
+        + _conv_flops(17, 17, 3, 3, 128, 128)
+    )
+    head = (
+        _conv_flops(13, 13, 5, 5, 289, 128)
+        + _conv_flops(9, 9, 5, 5, 128, 128)
+        + _conv_flops(5, 5, 5, 5, 128, 64)
+        + _conv_flops(1, 1, 5, 5, 64, 64)
+        + 64 * 2 * 2
+    )
+    corr = 289 * 289 * 128 * 2
+    coarse = 2 * backbone + corr + 2 * head
+    fine = 18 * (2 * backbone + corr + head)
+    return float(coarse + fine)
+
+
+def _load_best_checkpoint():
+    """Use the trained flow-CNN weights when available (production path)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name in ("panet_real.msgpack", "panet_cpu.msgpack"):
+        path = os.path.join(here, "weights", name)
+        if os.path.exists(path):
+            from lfr_tpu.models.checkpoint import load_variables
+
+            return load_variables(path)
+    return None
 
 
 def main() -> None:
@@ -45,7 +89,7 @@ def main() -> None:
     kps2 = kps1 + np.array([2.0, -3.0])
     matches = np.stack([np.arange(N_MATCHES), np.arange(N_MATCHES)], axis=1)
 
-    refiner = TwoViewRefiner(batch_size=1024)
+    refiner = TwoViewRefiner(variables=_load_best_checkpoint(), batch_size=1024)
 
     # Warm-up (compiles coarse + fine programs).
     refiner.refine_matches(image1, kps1, image2, kps2, matches)
@@ -59,6 +103,9 @@ def main() -> None:
     assert np.isfinite(g12).all() and np.isfinite(g21).all()
 
     value = N_MATCHES / best
+    fpm = flops_per_match()
+    achieved_tflops = value * fpm / 1e12
+    is_tpu = jax.devices()[0].platform not in ("cpu",)
     print(
         json.dumps(
             {
@@ -66,6 +113,13 @@ def main() -> None:
                 "value": round(value, 2),
                 "unit": "matches/s",
                 "vs_baseline": round(value / TORCH_CPU_MATCHES_PER_S, 2),
+                "gflops_per_match": round(fpm / 1e9, 2),
+                "achieved_tflops": round(achieved_tflops, 2),
+                "mfu_pct_bf16_peak": (
+                    round(100.0 * achieved_tflops / V5E_BF16_PEAK, 1)
+                    if is_tpu
+                    else None
+                ),
             }
         )
     )

@@ -182,6 +182,12 @@ class TwoViewRefiner:
             src21 = 2.0 * ij2 + off2
             tgt21 = 2.0 * (ij1 + c21 * DISPLACEMENT_UNIT_PX) + off1
 
+            # NOTE on layout: keeping the (2N, 9, ...) buffers and slicing
+            # [:, k] inside the scan lets XLA sink the per-offset slice of
+            # the grid extraction into the loop body; materializing
+            # offset-major buffers and feeding them as scan xs measured
+            # ~25% SLOWER end-to-end (extra ~1 GB of transpose+read
+            # traffic), so don't "fix" this into xs form.
             srcs = jnp.concatenate(
                 [
                     extract_patch_grid_separable(up1, src12, g, PATCH_SIZE),

@@ -98,15 +98,29 @@ def planar_scene(
     plane_z: float = 6.0,
     plane_half: float = 2.6,
     tex_px_per_unit: float = 220.0,
+    texture: np.ndarray = None,
 ) -> Tuple["Scene", List[np.ndarray]]:
     """A textured plane photographed by an arc of cameras.
 
     Unlike :func:`random_scene`, the rendered images show the *same*
     surface, so patch-based refinement has real correspondences to align.
-    Returns (scene, images); scene.points lie on the plane z=plane_z.
+    ``texture``: optional (H, W, 3) image (e.g. a real photograph) to map
+    onto the plane — tiled/cropped to the needed size; default random
+    synthetic texture.  Returns (scene, images); scene.points lie on the
+    plane z=plane_z.
     """
     tex_size = int(2 * plane_half * tex_px_per_unit) + 64
-    texture = textured_image(rng, tex_size, tex_size).astype(np.float32)
+    if texture is None:
+        texture = textured_image(rng, tex_size, tex_size).astype(np.float32)
+    else:
+        texture = np.asarray(texture, np.float32)
+        reps = (
+            -(-tex_size // texture.shape[0]),
+            -(-tex_size // texture.shape[1]),
+        )
+        if max(reps) > 1:
+            texture = np.tile(texture, (reps[0], reps[1], 1))
+        texture = texture[:tex_size, :tex_size]
 
     points = np.stack(
         [

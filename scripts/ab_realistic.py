@@ -1,0 +1,120 @@
+"""Refined-vs-raw A/B with the TRAINED flow CNN on photo-textured scenes.
+
+The accuracy north star (reference protocol: eth/benchmark.py:114-149):
+run the full match -> refine -> solve -> import -> triangulate -> evaluate
+chain twice (refined and raw) on multi-view datasets whose images are
+REAL PHOTOGRAPHS mapped onto a plane and rendered from an arc of cameras
+(this host has no network egress, so locally bundled photos stand in for
+downloaded benchmark scenes), using the checkpoint trained on the real
+image corpus — no oracle aligner anywhere.
+
+Writes results/ab_real.json and prints a markdown table.
+
+Usage: python scripts/ab_realistic.py [--checkpoint weights/panet_real.msgpack]
+       [--out results/ab_real.json] [--noise 2.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lfr_tpu.utils.platform import select_platform
+
+select_platform()
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", default="weights/panet_real.msgpack")
+    ap.add_argument("--out", default="results/ab_real.json")
+    ap.add_argument("--noise", type=float, default=2.0,
+                    help="keypoint noise (px) planted on the raw features")
+    ap.add_argument("--num_cameras", type=int, default=4)
+    ap.add_argument("--num_points", type=int, default=120)
+    ap.add_argument("--workdir", default=None)
+    args = ap.parse_args()
+
+    import tempfile
+
+    from lfr_tpu.pipelines import benchmark
+    from lfr_tpu.utils import synthetic
+    from lfr_tpu.utils.corpus import load_corpus
+
+    photos = load_corpus(include_textures=False, min_size=300)
+    if not photos:
+        raise SystemExit("no local real photos found")
+    scenes = {}
+    for i, photo in enumerate(photos[:3]):
+        scenes[f"photo{i}"] = photo
+
+    workdir = args.workdir or tempfile.mkdtemp(prefix="lfr_ab_")
+    all_results = {}
+    rows = []
+    for name, photo in scenes.items():
+        rng = np.random.default_rng(hash(name) % (2**32))
+        scene, images = synthetic.planar_scene(
+            rng,
+            num_points=args.num_points,
+            num_cameras=args.num_cameras,
+            width=480,
+            height=360,
+            texture=photo,
+        )
+        root = os.path.join(workdir, name)
+        synthetic.make_eth3d_dataset(
+            root, scene, rng, keypoint_noise_px=args.noise, rendered_images=images
+        )
+        results = benchmark.run_eth(
+            root,
+            "sift",
+            output_path=os.path.join(workdir, "out_" + name),
+            checkpoint=args.checkpoint,
+            verbose=False,
+        )
+        raw_t = results["raw"]["triangulation"]
+        ref_t = results["ref"]["triangulation"]
+        raw_e = results["raw"]["evaluation"]
+        ref_e = results["ref"]["evaluation"]
+        all_results[name] = {
+            "raw": {"triangulation": raw_t, "evaluation": raw_e},
+            "ref": {"triangulation": ref_t, "evaluation": ref_e},
+        }
+        rows.append(
+            (
+                name,
+                raw_t["mean_reproj_error"], ref_t["mean_reproj_error"],
+                raw_e["accuracies"][0], ref_e["accuracies"][0],
+                raw_e["accuracies"][1], ref_e["accuracies"][1],
+                raw_t["num_sparse_points"], ref_t["num_sparse_points"],
+            )
+        )
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    payload = {
+        "checkpoint": args.checkpoint,
+        "keypoint_noise_px": args.noise,
+        "scenes": all_results,
+    }
+    with open(args.out, "w") as fh:
+        json.dump(payload, fh, indent=1)
+
+    print("\n| scene | reproj raw | reproj ref | acc@1cm raw | acc@1cm ref "
+          "| acc@2cm raw | acc@2cm ref | points raw | points ref |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r[0]} | {r[1]:.3f} | {r[2]:.3f} | {r[3]:.3f} | {r[4]:.3f} "
+            f"| {r[5]:.3f} | {r[6]:.3f} | {r[7]} | {r[8]} |"
+        )
+    print(f"\nwrote {args.out} (workdir {workdir})")
+
+
+if __name__ == "__main__":
+    main()

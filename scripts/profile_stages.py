@@ -178,6 +178,42 @@ def main():
     ext_flops = 2 * b * 3 * (33 * 37 * 37 + 33 * 33 * 37) * 2
     record("extract(2B)", t, ext_flops)
 
+    # --- whole asym forward (what one fine scan step runs) ----------------
+    ref_p = jnp.asarray(rng.standard_normal((2 * b, 33, 33, 3)), jnp.float32)
+    tgt_p = jnp.asarray(rng.standard_normal((2 * b, 33, 33, 3)), jnp.float32)
+
+    @jax.jit
+    def run_asym(v, a, c):
+        return model.apply(v, a, c)
+
+    t = timeit(run_asym, variables, ref_p, tgt_p)
+    asym_flops = 2 * b * (2 * backbone_flops_per_patch() + head_flops_per_sample()) \
+        + 2 * b * corr_flops_per_pair()
+    record("asym_forward(2B)", t, asym_flops)
+
+    # --- whole sym forward (the coarse pass) ------------------------------
+    @jax.jit
+    def run_sym(v, a, c):
+        return model.apply(v, a, c, method=panet.PANet.forward_sym)
+
+    t = timeit(run_sym, variables, ref_p[:b], tgt_p[:b])
+    sym_flops = b * (2 * backbone_flops_per_patch() + 2 * head_flops_per_sample()) \
+        + b * corr_flops_per_pair()
+    record("sym_forward(B)", t, sym_flops)
+
+    # --- 3x3-grid patch extraction (fine-pass front end) ------------------
+    from lfr_tpu.ops.patches import extract_patch_grid_separable
+
+    gcenters = jnp.asarray(rng.uniform(120, 800, size=(b, 2)), jnp.float32)
+
+    @jax.jit
+    def run_grid_extract(im, c):
+        return extract_patch_grid_separable(im, c, 16)
+
+    t = timeit(run_grid_extract, img, gcenters)
+    grid_flops = b * 3 * (99 * 69 * 69 + 99 * 99 * 69) * 2
+    record("grid_extract(B)", t, grid_flops)
+
     # --- full fused refinement program -----------------------------------
     from lfr_tpu.pipelines.refinement import TwoViewRefiner
     from lfr_tpu.utils import synthetic
