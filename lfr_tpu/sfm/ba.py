@@ -59,6 +59,10 @@ class BAProblem:
     refine_focal: bool = False
     #: (C,) initial log-focal scales (default zeros).
     fscale: Optional[np.ndarray] = None
+    #: Optional (C,) int group ids: views in the same group SHARE one
+    #: focal-scale parameter (views of the same physical camera — the
+    #: shared-intrinsics coupling colmap applies).  None = per-view.
+    focal_group: Optional[np.ndarray] = None
 
 
 def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
@@ -157,12 +161,18 @@ def schur_step(
     pt_obs_idx,
     pt_obs_valid,
     n_cameras: int,
+    tie=None,
 ):
     """One damped Gauss-Newton step via the Schur-reduced camera system.
 
     Returns (dc (C, CAM_DOF), dX (P, 3)).  With ``lam = 0`` this is an
     undamped GN step — exposed at module level so tests can validate the
     grouped Schur assembly against a dense reference solve.
+
+    ``tie``: optional (CAM_DOF*C, P) parameter-tying matrix: the solve
+    runs in the reduced space z with dc = tie @ z (normal equations
+    tie^T H tie z = -tie^T g) — used to SHARE focal scales across views
+    of the same physical camera (COLMAP's shared-intrinsics behavior).
     """
     d = CAM_DOF
     r, Jc, Jp, w = _obs_jacobians(
@@ -235,8 +245,15 @@ def schur_step(
     fmask = free.reshape(-1)
     Sd = Sd * fmask[:, None] * fmask[None, :] + jnp.diag(1.0 - fmask)
     rhs_flat = (-rhs.reshape(-1)) * fmask
-    L, low = jax.scipy.linalg.cho_factor(Sd, lower=True)
-    dc = jax.scipy.linalg.cho_solve((L, low), rhs_flat).reshape(n_cameras, d)
+    if tie is None:
+        L, low = jax.scipy.linalg.cho_factor(Sd, lower=True)
+        dc = jax.scipy.linalg.cho_solve((L, low), rhs_flat).reshape(n_cameras, d)
+    else:
+        A = tie.T @ Sd @ tie
+        A = A + 1e-12 * jnp.eye(A.shape[0])
+        L, low = jax.scipy.linalg.cho_factor(A, lower=True)
+        z = jax.scipy.linalg.cho_solve((L, low), tie.T @ rhs_flat)
+        dc = (tie @ z).reshape(n_cameras, d)
 
     # Back-substitute points: dX = C^-1 (-g_p - E^T dc).
     ET_dc = jnp.einsum("pvab,pva->pb", E, dc[cam_g] * pt_obs_valid[..., None])
@@ -259,6 +276,7 @@ def ba_iterate(
     pt_obs_valid,    # (P, V)
     n_cameras: int,
     iterations: int = 20,
+    tie=None,
 ):
     """LM loop.  Returns (R, t, fscale, points, final_cost)."""
 
@@ -268,6 +286,7 @@ def ba_iterate(
             Rc, tc, fsc, Xc, lam,
             obs_cam, obs_pt, obs_uv, obs_focal,
             free, pt_obs_idx, pt_obs_valid, n_cameras,
+            tie=tie,
         )
         dc = dc * free
         R_new = so3_exp(dc[:, :3]) @ Rc
@@ -332,6 +351,24 @@ def _free_mask(problem: BAProblem) -> np.ndarray:
     return np.concatenate([pose_free, focal_free], axis=1).astype(np.float32)
 
 
+def _tie_matrix(focal_group: np.ndarray, free: np.ndarray) -> np.ndarray:
+    """(CAM_DOF*C, 6C + G) map from (per-view poses, per-GROUP focals) to
+    the flat per-view parameter vector."""
+    c = focal_group.shape[0]
+    d = CAM_DOF
+    groups = np.unique(focal_group)
+    n_red = 6 * c + groups.shape[0]
+    T = np.zeros((d * c, n_red), np.float32)
+    for v in range(c):
+        T[d * v : d * v + 6, 6 * v : 6 * v + 6] = np.eye(6)
+        gi = int(np.searchsorted(groups, focal_group[v]))
+        # Frozen focals stay out of the shared parameter (their row of the
+        # masked system is identity anyway).
+        if free[v, 6] > 0:
+            T[d * v + 6, 6 * c + gi] = 1.0
+    return T
+
+
 def run_ba(
     problem: BAProblem, iterations: int = 30
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, float]:
@@ -356,5 +393,10 @@ def run_ba(
         jnp.asarray(pt_valid),
         n_cameras=n_cameras,
         iterations=iterations,
+        tie=(
+            jnp.asarray(_tie_matrix(problem.focal_group, _free_mask(problem)))
+            if problem.focal_group is not None and problem.refine_focal
+            else None
+        ),
     )
     return np.asarray(R), np.asarray(t), np.asarray(fscale), np.asarray(X), float(cost)

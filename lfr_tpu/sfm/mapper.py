@@ -553,6 +553,9 @@ class IncrementalMapper:
             obs_f,
             fixed,
             refine_focal=self.opt.refine_focal and local_around is None,
+            # Views of the same physical camera share ONE focal parameter
+            # (COLMAP's shared-intrinsics coupling).
+            focal_group=np.asarray([self.image_cam[i] for i in cam_ids]),
         )
         R, t, fscale, X, _ = ba_mod.run_ba(problem, iterations=iterations)
         for iid, k in cam_index.items():

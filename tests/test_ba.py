@@ -227,3 +227,27 @@ def test_ba_long_track_descends():
     _, _, _, _, cost = ba.run_ba(prob, iterations=30)
     rms = np.sqrt(2 * cost / prob.obs_cam.shape[0])
     assert rms < 0.05, rms
+
+
+def test_shared_focal_groups_couple_views():
+    """Views in the same focal group recover ONE shared scale; a view in
+    its own group recovers its own (COLMAP shared-intrinsics coupling)."""
+    rng = np.random.default_rng(4)
+    scene = synthetic.random_scene(rng, num_points=80, num_cameras=5)
+    prob = _problem_from_scene(scene, rng, cam_noise=0.0, pt_noise=0.0, fix=(0, 1))
+    # Cameras 2+3 share a physical camera with a 3% focal error; camera 4
+    # is its own camera with a -2% error.
+    bad_a = np.isin(prob.obs_cam, [2, 3])
+    bad_b = prob.obs_cam == 4
+    prob.obs_uv[bad_a] /= 1.03
+    prob.obs_uv[bad_b] /= 0.98
+    prob.refine_focal = True
+    prob.focal_group = np.array([0, 1, 2, 2, 3])
+    R, t, fs, X, cost = ba.run_ba(prob, iterations=40)
+    rms = np.sqrt(2 * cost / prob.obs_cam.shape[0])
+    assert rms < 0.2, rms
+    # The shared group recovers one identical scale for both views.
+    assert fs[2] == fs[3]
+    np.testing.assert_allclose(np.exp(fs[2]), 1 / 1.03, rtol=0.01)
+    np.testing.assert_allclose(np.exp(fs[4]), 1 / 0.98, rtol=0.01)
+    np.testing.assert_allclose(fs[:2], 0.0, atol=1e-12)
