@@ -178,3 +178,49 @@ def test_triangulation_with_noise_and_outliers(scene, tmp_path):
         for p in result.model.points3D.values()
     ]
     assert np.median(errs) < 0.05  # ~0.03 expected at 0.5px noise, f=500, depth ~6
+
+
+def test_all_camera_models_round_trip():
+    """distort -> undistort is identity for every supported model."""
+    from lfr_tpu.io.colmap_model import Camera
+    from lfr_tpu.sfm import cameras as cam_mod
+
+    rng = np.random.default_rng(3)
+    xy = rng.uniform(-0.4, 0.4, (200, 2))
+    cases = [
+        ("SIMPLE_RADIAL", [500, 320, 240, 0.05]),
+        ("RADIAL", [500, 320, 240, 0.05, -0.02]),
+        ("OPENCV", [500, 510, 320, 240, 0.05, -0.02, 0.001, -0.0015]),
+        ("FULL_OPENCV", [500, 510, 320, 240, 0.05, -0.02, 0.001, -0.0015,
+                         0.003, 0.01, -0.005, 0.002]),
+        ("OPENCV_FISHEYE", [500, 510, 320, 240, 0.03, -0.01, 0.004, -0.002]),
+        ("FOV", [500, 510, 320, 240, 0.9]),
+        ("SIMPLE_RADIAL_FISHEYE", [500, 320, 240, 0.04]),
+        ("RADIAL_FISHEYE", [500, 320, 240, 0.04, -0.01]),
+        ("THIN_PRISM_FISHEYE", [500, 510, 320, 240, 0.03, -0.01, 0.001,
+                                -0.001, 0.002, -0.001, 0.0005, -0.0005]),
+    ]
+    for model, params in cases:
+        cam = Camera(1, model, 640, 480, np.asarray(params, float))
+        dist = cam_mod.distort_normalized(cam, xy)
+        undist = cam_mod.undistort_normalized(cam, dist)
+        np.testing.assert_allclose(undist, xy, atol=1e-6, err_msg=model)
+        # pixel round-trip through the full chain
+        K = cam_mod.calibration_matrix(cam)
+        uv = dist * np.array([K[0, 0], K[1, 1]]) + K[:2, 2]
+        norm = cam_mod.pixel_to_normalized(cam, uv)
+        np.testing.assert_allclose(norm, xy, atol=1e-6, err_msg=model)
+
+
+def test_fisheye_matches_equidistant_model():
+    """OPENCV_FISHEYE with zero ks is the pure equidistant projection."""
+    from lfr_tpu.io.colmap_model import Camera
+    from lfr_tpu.sfm import cameras as cam_mod
+
+    cam = Camera(1, "OPENCV_FISHEYE", 640, 480,
+                 np.array([400.0, 400, 320, 240, 0, 0, 0, 0]))
+    xy = np.array([[0.3, 0.0], [0.0, -0.5], [0.2, 0.2]])
+    d = cam_mod.distort_normalized(cam, xy)
+    r = np.linalg.norm(xy, axis=1)
+    expect = xy * (np.arctan(r) / r)[:, None]
+    np.testing.assert_allclose(d, expect, atol=1e-9)
