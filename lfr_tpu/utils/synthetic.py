@@ -99,6 +99,7 @@ def planar_scene(
     plane_half: float = 2.6,
     tex_px_per_unit: float = 220.0,
     texture: np.ndarray = None,
+    depth_step: float = 0.0,
 ) -> Tuple["Scene", List[np.ndarray]]:
     """A textured plane photographed by an arc of cameras.
 
@@ -106,8 +107,12 @@ def planar_scene(
     surface, so patch-based refinement has real correspondences to align.
     ``texture``: optional (H, W, 3) image (e.g. a real photograph) to map
     onto the plane — tiled/cropped to the needed size; default random
-    synthetic texture.  Returns (scene, images); scene.points lie on the
-    plane z=plane_z.
+    synthetic texture.  ``depth_step``: when nonzero, the x<0 half of the
+    surface sits at plane_z - depth_step and the x>=0 half at
+    plane_z + depth_step — a piecewise-planar relief that keeps the
+    essential matrix well-conditioned (a single plane is degenerate for
+    E-based SfM initialization; COLMAP falls back to homography there).
+    Returns (scene, images); scene.points lie on the surface.
     """
     tex_size = int(2 * plane_half * tex_px_per_unit) + 64
     if texture is None:
@@ -122,11 +127,13 @@ def planar_scene(
             texture = np.tile(texture, (reps[0], reps[1], 1))
         texture = texture[:tex_size, :tex_size]
 
+    px = rng.uniform(-plane_half * 0.8, plane_half * 0.8, num_points)
+    pz = plane_z + np.where(px < 0, -depth_step, depth_step)
     points = np.stack(
         [
+            px,
             rng.uniform(-plane_half * 0.8, plane_half * 0.8, num_points),
-            rng.uniform(-plane_half * 0.8, plane_half * 0.8, num_points),
-            np.full(num_points, plane_z),
+            pz,
         ],
         axis=1,
     )
@@ -176,14 +183,30 @@ def planar_scene(
             (uv[:, 0] > 20) & (uv[:, 0] < width - 20) & (uv[:, 1] > 20) & (uv[:, 1] < height - 20)
         )
 
-        # Render by inverse warping: pixel ray -> plane -> texture.
+        # Render by inverse warping: pixel ray -> surface -> texture.
         jj, ii = np.meshgrid(np.arange(width), np.arange(height))
         rays = np.stack([jj, ii, np.ones_like(jj)], axis=-1).astype(np.float64) @ Kinv.T
         # World ray direction and origin.
         d = rays @ R  # R^T @ ray per pixel
         o = center
-        lam = (plane_z - o[2]) / d[..., 2]
-        world = o[None, None] + lam[..., None] * d
+        if depth_step == 0.0:
+            lam = (plane_z - o[2]) / d[..., 2]
+            world = o[None, None] + lam[..., None] * d
+        else:
+            # Intersect both levels; keep the hit whose x sign matches its
+            # level (pixels straddling the step pick the nearer surface).
+            lam_a = (plane_z - depth_step - o[2]) / d[..., 2]
+            lam_b = (plane_z + depth_step - o[2]) / d[..., 2]
+            wa = o[None, None] + lam_a[..., None] * d
+            wb = o[None, None] + lam_b[..., None] * d
+            on_a = wa[..., 0] < 0
+            on_b = wb[..., 0] >= 0
+            # Default to whichever is geometrically consistent; where both
+            # or neither are, take the nearer intersection.
+            use_a = on_a & ~on_b
+            both = on_a & on_b
+            use_a = use_a | (both & (lam_a < lam_b))
+            world = np.where(use_a[..., None], wa, wb)
         r_t, c_t = tex_coords(world[..., :2])
         img = bilinear(texture, r_t, c_t)
         images.append(np.clip(img, 0, 255).astype(np.uint8))

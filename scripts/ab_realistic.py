@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--num_cameras", type=int, default=4)
     ap.add_argument("--num_points", type=int, default=120)
     ap.add_argument("--workdir", default=None)
+    ap.add_argument(
+        "--sfm",
+        action="store_true",
+        help="also run the full-SfM (incremental mapper) refined-vs-raw A/B",
+    )
     args = ap.parse_args()
 
     import tempfile
@@ -66,6 +71,8 @@ def main():
             width=480,
             height=360,
             texture=photo,
+            # Depth relief keeps E-based SfM initialization non-degenerate.
+            depth_step=0.5 if args.sfm else 0.0,
         )
         root = os.path.join(workdir, name)
         synthetic.make_eth3d_dataset(
@@ -86,6 +93,28 @@ def main():
             "raw": {"triangulation": raw_t, "evaluation": raw_e},
             "ref": {"triangulation": ref_t, "evaluation": ref_e},
         }
+        if args.sfm:
+            # The triangulation A/B already wrote its per-run DBs into
+            # ``root``; the SfM A/B gets a pristine copy of the dataset.
+            import shutil
+
+            root_sfm = root + "_sfm"
+            shutil.copytree(
+                root,
+                root_sfm,
+                ignore=shutil.ignore_patterns("sift-*.db", "sparse-*", "*.ply"),
+            )
+            sfm_results = benchmark.run_sfm(
+                root_sfm,
+                "sift",
+                output_path=os.path.join(workdir, "out_sfm_" + name),
+                checkpoint=args.checkpoint,
+                verbose=False,
+            )
+            all_results[name]["sfm"] = {
+                "raw": sfm_results["raw"],
+                "ref": sfm_results["ref"],
+            }
         rows.append(
             (
                 name,
@@ -113,6 +142,23 @@ def main():
             f"| {r[0]} | {r[1]:.3f} | {r[2]:.3f} | {r[3]:.3f} | {r[4]:.3f} "
             f"| {r[5]:.3f} | {r[6]:.3f} | {r[7]} | {r[8]} |"
         )
+    if args.sfm:
+        print("\nFull SfM (incremental mapper) refined vs raw:")
+        print("| scene | reproj raw | reproj ref | reg raw | reg ref "
+              "| points raw | points ref | track raw | track ref |")
+        print("|---|---|---|---|---|---|---|---|---|")
+        for name in all_results:
+            s = all_results[name].get("sfm")
+            if not s:
+                continue
+            a, b = s["raw"]["reconstruction"], s["ref"]["reconstruction"]
+            print(
+                f"| {name} | {a['mean_reproj_error']:.3f} | "
+                f"{b['mean_reproj_error']:.3f} | {a['num_reg_images']} | "
+                f"{b['num_reg_images']} | {a['num_sparse_points']} | "
+                f"{b['num_sparse_points']} | {a['mean_track_length']:.2f} | "
+                f"{b['mean_track_length']:.2f} |"
+            )
     print(f"\nwrote {args.out} (workdir {workdir})")
 
 
