@@ -260,6 +260,26 @@ def write_ply(path: str, points3D: Dict[int, Point3D]) -> None:
             fh.write(rec.tobytes())
 
 
+def write_ply_mesh(path: str, xyz: np.ndarray, faces: np.ndarray) -> None:
+    """Write a binary triangle-mesh PLY (vertices + faces)."""
+    n, m = len(xyz), len(faces)
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {n}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        f"element face {m}\n"
+        "property list uchar int vertex_indices\n"
+        "end_header\n"
+    ).encode()
+    rec = np.zeros(m, dtype=np.dtype([("n", "u1"), ("v", "<i4", (3,))]))
+    rec["n"] = 3
+    rec["v"] = np.asarray(faces, np.int32)
+    with open(path, "wb") as fh:
+        fh.write(header)
+        fh.write(np.asarray(xyz, "<f4").tobytes())
+        fh.write(rec.tobytes())
+
+
 _PLY_TYPES = {
     "float": "<f4", "float32": "<f4", "double": "<f8", "float64": "<f8",
     "uchar": "u1", "uint8": "u1", "char": "i1", "int8": "i1",

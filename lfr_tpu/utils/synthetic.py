@@ -237,6 +237,7 @@ def make_eth3d_dataset(
     keypoint_noise_px: float = 0.0,
     descriptor_dim: int = 128,
     rendered_images: "List[np.ndarray]" = None,
+    scan_mesh: "Tuple[np.ndarray, np.ndarray]" = None,
 ) -> str:
     """Materialize an ETH3D-layout dataset from a synthetic scene.
 
@@ -323,6 +324,22 @@ def make_eth3d_dataset(
         os.path.join(root, "match-list.txt"), match_list.exhaustive_pairs(names)
     )
 
+    # Ground-truth "scan": a triangulated surface mesh when the scene has
+    # one (enables point-to-SURFACE evaluation), else the points.
+    if scan_mesh is not None:
+        colmap_model.write_ply_mesh(
+            os.path.join(root, "dslr_scan_eval", "scan.ply"),
+            scan_mesh[0],
+            scan_mesh[1],
+        )
+        with open(os.path.join(root, "dslr_scan_eval", "scan_alignment.mlp"), "w") as fh:
+            fh.write(
+                '<!DOCTYPE MeshLabDocument>\n<MeshLabProject>\n <MeshGroup>\n'
+                '  <MLMesh filename="scan.ply" label="scan">\n'
+                "   <MLMatrix44>\n1 0 0 0 \n0 1 0 0 \n0 0 1 0 \n0 0 0 1 \n</MLMatrix44>\n"
+                "  </MLMesh>\n </MeshGroup>\n</MeshLabProject>\n"
+            )
+        return root
     # Ground-truth "scan": the scene points themselves.
     scan_pts = {
         i + 1: colmap_model.Point3D(
@@ -402,3 +419,24 @@ def random_scene(
         observations=observations,
         visible=visible,
     )
+
+def planar_surface_mesh(
+    plane_z: float = 6.0, plane_half: float = 2.6, depth_step: float = 0.0
+):
+    """Triangulated ground-truth mesh of :func:`planar_scene`'s surface."""
+    h = plane_half
+    if depth_step == 0.0:
+        verts = np.array(
+            [[-h, -h, plane_z], [h, -h, plane_z], [h, h, plane_z], [-h, h, plane_z]]
+        )
+        faces = np.array([[0, 1, 2], [0, 2, 3]])
+        return verts, faces
+    za, zb = plane_z - depth_step, plane_z + depth_step
+    verts = np.array(
+        [
+            [-h, -h, za], [0, -h, za], [0, h, za], [-h, h, za],
+            [0, -h, zb], [h, -h, zb], [h, h, zb], [0, h, zb],
+        ]
+    )
+    faces = np.array([[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7]])
+    return verts, faces

@@ -76,7 +76,17 @@ def main():
         )
         root = os.path.join(workdir, name)
         synthetic.make_eth3d_dataset(
-            root, scene, rng, keypoint_noise_px=args.noise, rendered_images=images
+            root,
+            scene,
+            rng,
+            keypoint_noise_px=args.noise,
+            rendered_images=images,
+            # Triangulated GT surface: accuracy measures distance to the
+            # SURFACE (like the official ETH3D evaluator), not to sparse
+            # GT vertices.
+            scan_mesh=synthetic.planar_surface_mesh(
+                depth_step=0.5 if args.sfm else 0.0
+            ),
         )
         results = benchmark.run_eth(
             root,
