@@ -23,7 +23,7 @@ from ..io import images as images_io
 from ..io import match_list as match_list_io
 from ..io import protos
 from ..ops import matchers
-from .refinement import TwoViewRefiner
+from .refinement import TwoViewRefiner, prepare_image
 
 
 def compute_match_graph(
@@ -100,6 +100,22 @@ def compute_match_graph(
     queue = collections.deque()  # (meta, pending-or-ready)
     PIPELINE_DEPTH = 3
 
+    # Device-resident image cache: each image is padded/pyramided on device
+    # once and reused across all its pairs (LRU-bounded for HBM).
+    prepared = collections.OrderedDict()
+    PREP_CACHE = 8
+
+    def _prep(name, image):
+        p = prepared.get(name)
+        if p is None:
+            p = prepare_image(image)
+            prepared[name] = p
+            if len(prepared) > PREP_CACHE:
+                prepared.popitem(last=False)
+        else:
+            prepared.move_to_end(name)
+        return p
+
     def _emit(meta, payload):
         name1, fact1, name2, fact2 = meta
         m, sim, grid12, grid21 = payload
@@ -144,8 +160,8 @@ def compute_match_graph(
             kps2 = feats2.xy / fact2
             if fused:
                 pending = refiner.process_pair(
-                    image1, kps1, feats1.descriptors,
-                    image2, kps2, feats2.descriptors,
+                    _prep(name1, image1), kps1, feats1.descriptors,
+                    _prep(name2, image2), kps2, feats2.descriptors,
                     method.matcher, method.threshold,
                     max_matches=max_matches,
                 )
@@ -159,7 +175,7 @@ def compute_match_graph(
                     grid21 = np.zeros((m.shape[0], 3, 3, 2), dtype=np.float32)
                 else:
                     grid12, grid21 = refiner.refine_matches(
-                        image1, kps1, image2, kps2, m
+                        _prep(name1, image1), kps1, _prep(name2, image2), kps2, m
                     )
                 queue.append((meta, (m, sim, grid12, grid21), True))
         else:

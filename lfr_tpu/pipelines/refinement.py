@@ -139,6 +139,29 @@ class _DeviceImage:
         self.offset = float(margin)
 
 
+class PreparedImage:
+    """Device-resident form of one image: the padded base level plus the 2x
+    pyramid level for the fine pass.
+
+    Preparing an image costs one host->device transfer and two device
+    programs; an image typically participates in many pairs, so callers
+    (match_graph, bench) prepare each image once and reuse it — the
+    reference reloads + re-uploads per pair (compute_match_graph.py:104-117).
+    """
+
+    def __init__(self, image: np.ndarray):
+        self.base = _DeviceImage(image)
+        self.up = _DeviceImage(image, upsample=True)
+
+
+def prepare_image(image) -> PreparedImage:
+    """Coerce an (H, W, 3) uint8 array to its device-resident form (no-op
+    when already prepared)."""
+    if isinstance(image, PreparedImage):
+        return image
+    return PreparedImage(image)
+
+
 class TwoViewRefiner:
     """Runs the patch-alignment CNN coarse-to-fine over matched keypoints."""
 
@@ -343,6 +366,9 @@ class TwoViewRefiner:
         ``max_matches`` is a *capacity*, not a cap: finalize_pair detects
         overflow via the returned true match count and re-dispatches the
         pair at a larger capacity, so no match is ever silently dropped.
+
+        ``image1``/``image2`` may be raw (H, W, 3) arrays or
+        :class:`PreparedImage` handles (prepare once, reuse across pairs).
         """
         from ..ops.matchers import _pad_descriptors
 
@@ -353,10 +379,10 @@ class TwoViewRefiner:
         kp2 = np.zeros((d2.shape[0], 2), np.float32)
         kp2[:n2] = keypoints2[:, :2]
 
-        d_img1 = _DeviceImage(image1)
-        d_img2 = _DeviceImage(image2)
-        d_up1 = _DeviceImage(image1, upsample=True)
-        d_up2 = _DeviceImage(image2, upsample=True)
+        prep1 = prepare_image(image1)
+        prep2 = prepare_image(image2)
+        d_img1, d_up1 = prep1.base, prep1.up
+        d_img2, d_up2 = prep2.base, prep2.up
         up1_arr, up2_arr = _harmonize(d_up1, d_up2)
         im1_arr, im2_arr = _harmonize(d_img1, d_img2)
 
@@ -382,8 +408,8 @@ class TwoViewRefiner:
             max_matches=capacity,
         )
         retry_args = (
-            image1, keypoints1, descriptors1,
-            image2, keypoints2, descriptors2,
+            prep1, keypoints1, descriptors1,
+            prep2, keypoints2, descriptors2,
             matcher, threshold,
         )
         return (out, capacity, d1.shape[0], retry_args)
@@ -465,41 +491,37 @@ class TwoViewRefiner:
         disp = self._run_chunked(up_src, up_tgt, all_src, all_tgt, sym=False)
         return disp.reshape(n, 3, 3, 2)
 
-    def refine_matches(
+    def refine_matches_async(
         self,
-        image1: np.ndarray,
+        image1,
         keypoints1: np.ndarray,
-        image2: np.ndarray,
+        image2,
         keypoints2: np.ndarray,
         matches: np.ndarray,
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        """Coarse-to-fine refinement of matched keypoints
-        (reference: refinement.py:122-185, symmetric grid mode).
+    ):
+        """Dispatch coarse-to-fine refinement without synchronizing.
 
-        Args:
-          image1/image2: (H, W, 3) uint8 RGB, already downscaled by fact.
-          keypoints1/keypoints2: (K, >=2) with x, y columns at this scale.
-          matches: (N, 2) indices into the keypoint arrays.
-
-        Returns (grid12, grid21): (N, 3, 3, 2) flow grids in displacement
-        units (1 unit = 16 px), sampled at +-8 px around the source keypoint.
+        Returns an opaque handle; resolve with :meth:`resolve_refined`.
+        Dispatches from consecutive calls pipeline through the device, so a
+        caller walking many pairs keeps the chip busy (match_graph's
+        3-deep pipeline; the reference synchronizes per batch,
+        refinement.py:57-58).  ``image1``/``image2`` may be raw arrays or
+        :class:`PreparedImage` handles.
         """
         if matches.shape[0] == 0:
             z = np.zeros((0, 3, 3, 2), dtype=np.float32)
-            return z, z
+            return ("ready", (z, z))
 
         ij1 = keypoints1[matches[:, 0]][:, [1, 0]].astype(np.float64)
         ij2 = keypoints2[matches[:, 1]][:, [1, 0]].astype(np.float64)
 
-        d_img1 = _DeviceImage(image1)
-        d_img2 = _DeviceImage(image2)
-        # Dispatch the 2x pyramid levels for the fine pass up front: they
-        # compute on device, overlapping with the coarse stage.
-        d_up1 = _DeviceImage(image1, upsample=True)
-        d_up2 = _DeviceImage(image2, upsample=True)
+        prep1 = prepare_image(image1)
+        prep2 = prepare_image(image2)
+        d_img1, d_up1 = prep1.base, prep1.up
+        d_img2, d_up2 = prep2.base, prep2.up
 
         # When a test injects a custom patch CNN, keep the chunked path so
-        # the injected model drives both stages.
+        # the injected model drives both stages (synchronous).
         if self._patch_cnn is not self._patch_cnn_original:
             coarse12, coarse21 = self._run_chunked(d_img1, d_img2, ij1, ij2, sym=True)
             fine12 = self._fine_direction(
@@ -510,7 +532,7 @@ class TwoViewRefiner:
             )
             grid12 = coarse12[:, None, None] + 0.5 * fine12
             grid21 = coarse21[:, None, None] + 0.5 * fine21
-            return grid12.astype(np.float32), grid21.astype(np.float32)
+            return ("ready", (grid12.astype(np.float32), grid21.astype(np.float32)))
 
         # Fully fused path: one device program per match chunk runs the
         # coarse pass and both 9-offset fine directions.
@@ -543,6 +565,38 @@ class TwoViewRefiner:
                 jnp.float32(d_up2.offset),
             )
             parts.append((out12, out21, min(bs, n - start)))
-        grid12 = np.concatenate([np.asarray(o[:k]) for o, _, k in parts])
-        grid21 = np.concatenate([np.asarray(o[:k]) for _, o, k in parts])
+        return ("parts", parts)
+
+    @staticmethod
+    def resolve_refined(handle) -> Tuple[np.ndarray, np.ndarray]:
+        """Resolve a :meth:`refine_matches_async` handle -> (grid12, grid21)."""
+        kind, payload = handle
+        if kind == "ready":
+            return payload
+        grid12 = np.concatenate([np.asarray(o[:k]) for o, _, k in payload])
+        grid21 = np.concatenate([np.asarray(o[:k]) for _, o, k in payload])
         return grid12.astype(np.float32), grid21.astype(np.float32)
+
+    def refine_matches(
+        self,
+        image1,
+        keypoints1: np.ndarray,
+        image2,
+        keypoints2: np.ndarray,
+        matches: np.ndarray,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Coarse-to-fine refinement of matched keypoints
+        (reference: refinement.py:122-185, symmetric grid mode).
+
+        Args:
+          image1/image2: (H, W, 3) uint8 RGB, already downscaled by fact —
+            or :class:`PreparedImage` handles.
+          keypoints1/keypoints2: (K, >=2) with x, y columns at this scale.
+          matches: (N, 2) indices into the keypoint arrays.
+
+        Returns (grid12, grid21): (N, 3, 3, 2) flow grids in displacement
+        units (1 unit = 16 px), sampled at +-8 px around the source keypoint.
+        """
+        return self.resolve_refined(
+            self.refine_matches_async(image1, keypoints1, image2, keypoints2, matches)
+        )
