@@ -34,14 +34,26 @@ def _conv_flops(h, w, kh, kw, cin, cout):
     return h * w * kh * kw * cin * cout * 2
 
 
-def flops_per_match() -> float:
-    """Model FLOPs of one refined match: coarse sym + 18 asym fine passes
-    through backbone + correlation + head (see scripts/profile_stages.py)."""
+def flops_per_match(fine_mode: str = "grid") -> float:
+    """Executed model FLOPs of one refined match: coarse sym + the fine
+    pass (see scripts/profile_stages.py).
+
+    ``grid``: 18 asym passes, each a full backbone + correlation + head.
+    ``crop``: the backbone runs once per 65x65 crop (4 crops/match); the
+    nine per-direction grid patches are served from feature-map slices, so
+    only 18 correlation + head evaluations remain.
+    """
     backbone = (
         _conv_flops(33, 33, 3, 3, 3, 64)
         + _conv_flops(33, 33, 3, 3, 64, 64)
         + _conv_flops(17, 17, 3, 3, 64, 128)
         + _conv_flops(17, 17, 3, 3, 128, 128)
+    )
+    crop_backbone = (
+        _conv_flops(65, 65, 3, 3, 3, 64)
+        + _conv_flops(65, 65, 3, 3, 64, 64)
+        + _conv_flops(33, 33, 3, 3, 64, 128)
+        + _conv_flops(33, 33, 3, 3, 128, 128)
     )
     head = (
         _conv_flops(13, 13, 5, 5, 289, 128)
@@ -52,7 +64,10 @@ def flops_per_match() -> float:
     )
     corr = 289 * 289 * 128 * 2
     coarse = 2 * backbone + corr + 2 * head
-    fine = 18 * (2 * backbone + corr + head)
+    if fine_mode == "crop":
+        fine = 4 * crop_backbone + 18 * (corr + head)
+    else:
+        fine = 18 * (2 * backbone + corr + head)
     return float(coarse + fine)
 
 
@@ -92,8 +107,13 @@ def main() -> None:
     matches = np.stack([np.arange(N_MATCHES), np.arange(N_MATCHES)], axis=1)
 
     # Batch 2048 measured ~7% faster than the reference's 1024 on v5e
-    # (larger MXU batches across the fine scan).
-    refiner = TwoViewRefiner(variables=_load_best_checkpoint(), batch_size=2048)
+    # (larger MXU batches across the fine scan).  Crop fine mode (backbone
+    # once per 65px crop) measured 1.4x over the 9-patch grid mode; override
+    # with LFR_BENCH_FINE_MODE=grid for the reference-parity formulation.
+    fine_mode = os.environ.get("LFR_BENCH_FINE_MODE", "crop")
+    refiner = TwoViewRefiner(
+        variables=_load_best_checkpoint(), batch_size=2048, fine_mode=fine_mode
+    )
 
     # Production pattern (match_graph): images are prepared on device once
     # and reused across pairs; refinement dispatches pipeline a few pairs
@@ -116,7 +136,7 @@ def main() -> None:
     assert np.isfinite(g12).all() and np.isfinite(g21).all()
 
     value = N_MATCHES / dt
-    fpm = flops_per_match()
+    fpm = flops_per_match(fine_mode)
     achieved_tflops = value * fpm / 1e12
     is_tpu = jax.devices()[0].platform not in ("cpu",)
     print(
@@ -126,6 +146,7 @@ def main() -> None:
                 "value": round(value, 2),
                 "unit": "matches/s",
                 "vs_baseline": round(value / TORCH_CPU_MATCHES_PER_S, 2),
+                "fine_mode": fine_mode,
                 "gflops_per_match": round(fpm / 1e9, 2),
                 "achieved_tflops": round(achieved_tflops, 2),
                 "mfu_pct_bf16_peak": (

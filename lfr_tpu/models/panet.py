@@ -132,6 +132,19 @@ class PANet(nn.Module):
         use_pallas = False if train else None
         return corr_views(fr, ft, sym=sym, use_pallas=use_pallas)
 
+    def flow_from_features(
+        self, f_ref: jnp.ndarray, f_tgt: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
+        """Correlation + refine head over per-position L2-normalized
+        (B, 17, 17, C) feature maps — the asymmetric forward minus the
+        backbone, so callers that compute features once per crop (the
+        crop-feature fine pass) can reuse them across grid offsets."""
+        b = f_ref.shape[0]
+        c12 = self._corr_views(f_ref, f_tgt, sym=False, train=train)
+        # corr12: spatial grid = reference positions, channels = target pos.
+        corr12 = c12.reshape(b, FMAP, FMAP, FMAP * FMAP)
+        return self._head(corr12, train, prenormalized=True)
+
     def __call__(
         self, reference: jnp.ndarray, target: jnp.ndarray, train: bool = False
     ) -> jnp.ndarray:
@@ -139,10 +152,7 @@ class PANet(nn.Module):
         (reference: model.py:53-78).  Inputs are ImageNet-normalized NHWC."""
         b = reference.shape[0]
         feats = self.features(jnp.concatenate([reference, target], axis=0))
-        c12 = self._corr_views(feats[:b], feats[b:], sym=False, train=train)
-        # corr12: spatial grid = reference positions, channels = target pos.
-        corr12 = c12.reshape(b, FMAP, FMAP, FMAP * FMAP)
-        return self._head(corr12, train, prenormalized=True)
+        return self.flow_from_features(feats[:b], feats[b:], train=train)
 
     def forward_sym(
         self, reference: jnp.ndarray, target: jnp.ndarray, train: bool = False

@@ -188,6 +188,45 @@ def extract_patch_grid_separable(
     return jax.vmap(one)(ij.astype(jnp.float32))
 
 
+def extract_crops_unit(
+    image_padded: jnp.ndarray,
+    ij: jnp.ndarray,
+    crop_size: int,
+) -> jnp.ndarray:
+    """Unit-lattice bilinear crops: ``crop_size`` samples at exactly 1 px
+    spacing, centered on each (i, j).
+
+    Unlike the reference patch grid (spacing ps/(ps-1),
+    reference: refinement.py:12-30), a unit lattice makes every
+    integer-offset sub-window of the crop an exact slice — the property the
+    crop-feature fine pass needs to run the CNN backbone once per 65 px
+    crop and serve all nine +-16 px grid patches from feature-map slices.
+    Same separable crop+matmul formulation as
+    :func:`extract_patches_separable`.  Returns (N, cs, cs, C) float32.
+    """
+    window = crop_size + 2
+    offs = jnp.arange(crop_size, dtype=jnp.float32) - (crop_size - 1) / 2.0
+    cols = jnp.arange(window, dtype=jnp.float32)
+
+    def weights(center, axis_size):
+        pos = center + offs
+        base = jnp.clip(jnp.floor(pos[0]).astype(jnp.int32), 0, axis_size - window)
+        rel = pos - base.astype(pos.dtype)
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(rel[:, None] - cols[None, :]))
+        return base, w
+
+    def one(center):
+        bi, wi = weights(center[0], image_padded.shape[0])
+        bj, wj = weights(center[1], image_padded.shape[1])
+        crop = jax.lax.dynamic_slice(
+            image_padded, (bi, bj, 0), (window, window, image_padded.shape[2])
+        ).astype(jnp.float32)
+        tmp = jnp.einsum("rw,wvc->rvc", wi, crop)
+        return jnp.einsum("qv,rvc->rqc", wj, tmp)
+
+    return jax.vmap(one)(ij.astype(jnp.float32))
+
+
 #: Reflection margin added around images for the separable fast path; must
 #: exceed the largest patch half-extent used anywhere (fine pass: 16.5*2 +
 #: 16 grid + 1 ~ 50 px on the 2x image).

@@ -230,6 +230,13 @@ def main(argv=None) -> None:
     parser.add_argument("--max_edge", type=int, default=None)
     parser.add_argument("--max_sum_edges", type=int, default=None)
     parser.add_argument("--matcher", default=None, choices=["similarity", "ratio"])
+    parser.add_argument(
+        "--fine_mode",
+        default="crop",
+        choices=["grid", "crop"],
+        help="fine-pass formulation: 'crop' (TPU-fast, backbone once per "
+        "65px crop; default) or 'grid' (reference-parity 9-patch grid)",
+    )
     parser.add_argument("--threshold", type=float, default=None)
     args = parser.parse_args(argv)
 
@@ -258,7 +265,11 @@ def main(argv=None) -> None:
             from ..models.checkpoint import load_any
 
             variables = load_any(args.checkpoint)
-        refiner = TwoViewRefiner(variables=variables, batch_size=args.batch_size)
+        refiner = TwoViewRefiner(
+            variables=variables,
+            batch_size=args.batch_size,
+            fine_mode=args.fine_mode,
+        )
 
     compute_match_graph(
         args.image_path,

@@ -28,6 +28,7 @@ from ..config import DEFAULT_BATCH_SIZE, DISPLACEMENT_UNIT_PX, GRID_OFFSET_PX, P
 from ..models import panet
 from ..ops.patches import (
     REFLECT_MARGIN,
+    extract_crops_unit,
     extract_patch_grid_separable,
     extract_patches_separable,
 )
@@ -171,7 +172,24 @@ class TwoViewRefiner:
         batch_size: int = DEFAULT_BATCH_SIZE,
         compute_dtype=jnp.bfloat16,
         rng_seed: int = 0,
+        fine_mode: str = "grid",
     ):
+        """``fine_mode`` selects the fine-pass formulation:
+
+        * ``"grid"`` (default): reference-parity — 9 independent 33x33
+          patches per direction on the ps/(ps-1)-spaced sampling grid,
+          each through the full CNN (reference: refinement.py:83-97).
+        * ``"crop"``: TPU-fast — one unit-lattice 65x65 crop per direction
+          runs the backbone ONCE; the nine 17x17 feature windows are
+          integer slices of the crop's feature map (~2.3x less backbone
+          compute).  Deviations from grid mode, both measured in the A/B
+          harness: fine patches sample at 1 px spacing instead of
+          ps/(ps-1) (flow rescaled by (ps-1)/ps to compensate), and patch
+          borders see real crop neighborhoods instead of conv zero-padding.
+        """
+        if fine_mode not in ("grid", "crop"):
+            raise ValueError(f"fine_mode must be 'grid' or 'crop', got {fine_mode!r}")
+        self.fine_mode = fine_mode
         if variables is None:
             import sys
 
@@ -251,7 +269,71 @@ class TwoViewRefiner:
             fine21 = jnp.transpose(disp[:, n:], (1, 0, 2)).reshape(-1, 3, 3, 2)
             return fine12, fine21
 
-        self._fine_both = _fine_both
+        @jax.jit
+        def _fine_both_crop(variables, up1, up2, ij1, ij2, c12, c21, off1, off2):
+            """Crop-feature fine pass: backbone once per 65 px crop.
+
+            Each direction needs 9 (src, tgt) patch pairs on a +-16 px grid
+            (2x image).  On a unit sampling lattice the 9 patches are
+            integer-offset 33x33 windows of one 65x65 crop, and because the
+            backbone's stride-2 reduction aligns with the even (16 px)
+            offsets, their 17x17 feature maps are integer slices (stride 8)
+            of the crop's 33x33 feature map.  So: extract 4N crops, run the
+            backbone ONCE (4N x 3.9 patch-equivalents instead of 9 x 4N
+            patches), and scan the 9 offsets over correlation + head only.
+            """
+            g = int(2.0 * GRID_OFFSET_PX)  # +-16 px on the 2x image
+            crop = PATCH_SIZE + 2 * g  # 65
+            src12 = 2.0 * ij1 + off1
+            tgt12 = 2.0 * (ij2 + c12 * DISPLACEMENT_UNIT_PX) + off2
+            src21 = 2.0 * ij2 + off2
+            tgt21 = 2.0 * (ij1 + c21 * DISPLACEMENT_UNIT_PX) + off1
+
+            crops = jnp.concatenate(
+                [
+                    extract_crops_unit(up1, src12, crop),
+                    extract_crops_unit(up2, src21, crop),
+                    extract_crops_unit(up2, tgt12, crop),
+                    extract_crops_unit(up1, tgt21, crop),
+                ],
+                axis=0,
+            )  # (4N, 65, 65, 3)
+            fmaps = self.model.apply(
+                variables,
+                panet.normalize_patches(crops),
+                method=lambda m, x: m.features(x),
+            )  # (4N, 33, 33, C) — per-position L2 norm commutes with slicing
+            n = ij1.shape[0]
+            fsrc, ftgt = fmaps[: 2 * n], fmaps[2 * n :]
+            fdim = panet.FMAP
+            step_px = g // 2  # 16 px grid -> 8 feature rows (stride 2)
+
+            def step(_, k):
+                a = (k // 3) * step_px
+                b = (k % 3) * step_px
+                fs = jax.lax.dynamic_slice(
+                    fsrc, (0, a, b, 0), (2 * n, fdim, fdim, fsrc.shape[3])
+                )
+                ft = jax.lax.dynamic_slice(
+                    ftgt, (0, a, b, 0), (2 * n, fdim, fdim, ftgt.shape[3])
+                )
+                d = self.model.apply(
+                    variables, fs, ft, method=panet.PANet.flow_from_features
+                )
+                return None, d
+
+            _, disp = jax.lax.scan(step, None, jnp.arange(9))  # (9, 2N, 2)
+            # Unit-lattice calibration: the CNN is trained on ps/(ps-1)-
+            # spaced patches, where a delta-px shift appears as
+            # delta*(ps-1)/ps lattice steps; unit-spaced crops show delta
+            # full steps, so predictions run (ps/(ps-1))x hot.
+            disp = disp * ((PATCH_SIZE - 1.0) / PATCH_SIZE)
+            fine12 = jnp.transpose(disp[:, :n], (1, 0, 2)).reshape(-1, 3, 3, 2)
+            fine21 = jnp.transpose(disp[:, n:], (1, 0, 2)).reshape(-1, 3, 3, 2)
+            return fine12, fine21
+
+        self._fine_both = _fine_both if fine_mode == "grid" else _fine_both_crop
+        _fine_both = self._fine_both
 
         @jax.jit
         def _refine_full(

@@ -251,6 +251,49 @@ def test_fused_match_and_refine_parity():
     np.testing.assert_allclose(f_g21, g21, atol=2e-4, rtol=1e-3)
 
 
+def test_unit_crop_extractor_slicing_property():
+    """A 33x33 sub-window of a 65x65 unit crop equals the 33x33 unit crop
+    at the shifted center — the property the crop fine mode relies on to
+    serve all nine grid patches from one crop."""
+    from lfr_tpu.ops.patches import extract_crops_unit
+
+    rng = np.random.default_rng(20)
+    img = jnp.asarray(rng.uniform(0, 255, (120, 140, 3)).astype(np.float32))
+    centers = jnp.asarray(np.array([[60.3, 70.8], [55.0, 64.25]], np.float32))
+    big = np.asarray(extract_crops_unit(img, centers, 65))
+    for a in (0, 16, 32):
+        for b in (0, 16, 32):
+            off = np.array([a - 16.0, b - 16.0], np.float32)
+            small = np.asarray(extract_crops_unit(img, centers + off, 33))
+            np.testing.assert_allclose(
+                big[:, a : a + 33, b : b + 33], small, atol=1e-3
+            )
+
+
+def test_crop_fine_mode_close_to_grid():
+    """fine_mode='crop' (backbone once per 65px crop, sliced features) must
+    track the reference-parity 'grid' mode closely with trained weights."""
+    import pathlib
+
+    from lfr_tpu.models.checkpoint import load_variables
+
+    ckpt = pathlib.Path(__file__).resolve().parents[1] / "weights" / "panet_cpu.msgpack"
+    v = load_variables(str(ckpt))
+    rng = np.random.default_rng(21)
+    img1, img2 = synthetic.shifted_pair(rng, 96, 128, (2, -1))
+    n = 6
+    kps = np.stack([rng.uniform(35, 90, n), rng.uniform(35, 60, n)], axis=1)
+    matches = np.stack([np.arange(n), np.arange(n)], axis=1)
+    rg = refinement.TwoViewRefiner(variables=v, batch_size=8, fine_mode="grid")
+    rc = refinement.TwoViewRefiner(variables=v, batch_size=8, fine_mode="crop")
+    g12g, g21g = rg.refine_matches(img1, kps, img2, kps, matches)
+    g12c, g21c = rc.refine_matches(img1, kps, img2, kps, matches)
+    # Identical coarse pass; fine passes differ only by sampling lattice
+    # (calibrated) and crop-border context. 0.05 units = 0.8 px.
+    assert np.abs(g12g - g12c).max() < 0.05
+    assert np.abs(g21g - g21c).max() < 0.05
+
+
 def test_fused_pair_capacity_regrows_on_overflow():
     """max_matches is a capacity, not a cap: overflow re-dispatches larger
     and returns ALL matches (regression: a silent 2048 truncation)."""
