@@ -40,10 +40,10 @@ def timeit(fn, *args, reps=20):
 def main():
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     rng = np.random.default_rng(0)
-    f = jnp.asarray(rng.standard_normal((b, 384, 128)), jnp.bfloat16)
-    f2 = jnp.asarray(rng.standard_normal((b, 384, 128)), jnp.bfloat16)
+    f = jnp.asarray(rng.standard_normal((b, 289, 128)), jnp.bfloat16)
+    f2 = jnp.asarray(rng.standard_normal((b, 289, 128)), jnp.bfloat16)
 
-    flops = b * 384 * 384 * 128 * 2
+    flops = b * 289 * 289 * 128 * 2
 
     @jax.jit
     def einsum_path(a, bb):

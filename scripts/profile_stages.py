@@ -142,12 +142,9 @@ def main():
     if dev.platform not in ("cpu",):
         from lfr_tpu.ops.correlation import correlation_pallas
 
-        fpad = jnp.zeros((b, 384, 128), jnp.float32).at[:, :289].set(
-            feats.astype(jnp.float32)
-        )
         try:
-            t = timeit(correlation_pallas, fpad, fpad)
-            record("corr_pallas(B,384pad)", t, b * 384 * 384 * 128 * 2)
+            t = timeit(correlation_pallas, feats, feats)
+            record("corr_pallas(B,289)", t, b * corr_flops_per_pair())
         except Exception as e:  # pragma: no cover
             print(f"corr_pallas failed: {type(e).__name__}: {e}", flush=True)
 

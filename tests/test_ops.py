@@ -256,8 +256,8 @@ def test_fused_correlation_pallas_interpret_matches_reference():
         fr4, ft4, interpret=True, out_dtype=jnp.float32
     )
     np.testing.assert_allclose(np.asarray(c12_4[:2]), np.asarray(c12_ref), atol=1e-5)
-    # corr_views pads 289 -> POS_PAD and slices back; the reference must
-    # also see only 289 positions (norms run over the position axis).
+    # corr_views feeds the natural 289-position layout straight through
+    # (Mosaic pads full-dim blocks internally); norms run over positions.
     c12_289 = correlation.correlation_reference(f_ref[:, :289], f_tgt[:, :289])[0]
     c12_v = correlation.corr_views(
         f_ref[:, :289], f_tgt[:, :289], sym=False, use_pallas=True, interpret=True
