@@ -31,6 +31,7 @@ def run_eth(
     evaluate: bool = True,
     batch_size: int = None,
     verbose: bool = True,
+    fine_mode: str = "grid",
 ) -> dict:
     """ETH3D triangulation benchmark for one dataset
     (reference: eth/benchmark.py:69-149)."""
@@ -52,7 +53,7 @@ def run_eth(
 
             variables = load_any(checkpoint)
         kwargs = {"batch_size": batch_size} if batch_size else {}
-        refiner = TwoViewRefiner(variables=variables, **kwargs)
+        refiner = TwoViewRefiner(variables=variables, fine_mode=fine_mode, **kwargs)
 
     spans = timing.Spans()
     with spans.span("match_graph"):
@@ -106,6 +107,7 @@ def run_sfm(
     refiner=None,
     batch_size: int = None,
     verbose: bool = True,
+    fine_mode: str = "grid",
 ) -> dict:
     """Full-SfM benchmark for one dataset — the LFE / custom-demo path
     (reference: local-feature-evaluation/benchmark.py:85-126,
@@ -128,7 +130,7 @@ def run_sfm(
 
             variables = load_any(checkpoint)
         kwargs = {"batch_size": batch_size} if batch_size else {}
-        refiner = TwoViewRefiner(variables=variables, **kwargs)
+        refiner = TwoViewRefiner(variables=variables, fine_mode=fine_mode, **kwargs)
 
     mg_mod.compute_match_graph(
         os.path.join(dataset_path, "images"),

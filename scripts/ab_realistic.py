@@ -40,6 +40,12 @@ def main():
     ap.add_argument("--num_points", type=int, default=120)
     ap.add_argument("--workdir", default=None)
     ap.add_argument(
+        "--fine_mode",
+        default="grid",
+        choices=["grid", "crop"],
+        help="fine-pass formulation for the refiner (crop = TPU-fast)",
+    )
+    ap.add_argument(
         "--sfm",
         action="store_true",
         help="also run the full-SfM (incremental mapper) refined-vs-raw A/B",
@@ -94,6 +100,7 @@ def main():
             output_path=os.path.join(workdir, "out_" + name),
             checkpoint=args.checkpoint,
             verbose=False,
+            fine_mode=args.fine_mode,
         )
         raw_t = results["raw"]["triangulation"]
         ref_t = results["ref"]["triangulation"]
@@ -120,6 +127,7 @@ def main():
                 output_path=os.path.join(workdir, "out_sfm_" + name),
                 checkpoint=args.checkpoint,
                 verbose=False,
+                fine_mode=args.fine_mode,
             )
             all_results[name]["sfm"] = {
                 "raw": sfm_results["raw"],
@@ -138,6 +146,7 @@ def main():
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     payload = {
         "checkpoint": args.checkpoint,
+        "fine_mode": args.fine_mode,
         "keypoint_noise_px": args.noise,
         "scenes": all_results,
     }
