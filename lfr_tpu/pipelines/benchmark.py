@@ -171,6 +171,7 @@ def main(argv=None) -> None:
     p_eth.add_argument("--output_path", default="output")
     p_eth.add_argument("--checkpoint", default=None)
     p_eth.add_argument("--no_eval", action="store_true")
+    p_eth.add_argument("--fine_mode", default="grid", choices=["grid", "crop"])
 
     for name, helptext in [
         ("lfe", "local-feature-evaluation SfM benchmark"),
@@ -181,6 +182,7 @@ def main(argv=None) -> None:
         p.add_argument("--method_name", required=True)
         p.add_argument("--output_path", default="output")
         p.add_argument("--checkpoint", default=None)
+        p.add_argument("--fine_mode", default="grid", choices=["grid", "crop"])
 
     args = parser.parse_args(argv)
     skip = "SKIP_REFINEMENT" in os.environ
@@ -192,6 +194,7 @@ def main(argv=None) -> None:
             skip_refinement=skip,
             checkpoint=args.checkpoint,
             evaluate=not args.no_eval,
+            fine_mode=args.fine_mode,
         )
     else:
         run_sfm(
@@ -200,6 +203,7 @@ def main(argv=None) -> None:
             args.output_path,
             skip_refinement=skip,
             checkpoint=args.checkpoint,
+            fine_mode=args.fine_mode,
         )
 
 
