@@ -8,10 +8,81 @@
 // arrays, sorted-vector image sets, and iterative path compression.
 
 #include <cstdint>
+#include <cstring>
 #include <vector>
 #include <algorithm>
+#include <thread>
 
 extern "C" {
+
+// Fused gather/scatter: dst[dst_idx[i]] = src[src_idx[i]] over fixed-size
+// elements, multithreaded.  This is the data-movement core of bucket
+// packing (solver/buckets.py): NumPy's fancy-indexed gather-then-scatter
+// materializes an intermediate and runs single-threaded; at Madrid-scale
+// graphs the flow grids alone are ~150 MB per pass.  Disjoint dst_idx is
+// the caller's contract (each packed slot is written once).
+void lfr_gather_scatter(
+    const uint8_t* src, int64_t elem_bytes,
+    const int64_t* src_idx, const int64_t* dst_idx,
+    int64_t n, uint8_t* dst, int n_threads) {
+  auto work = [=](int64_t lo, int64_t hi) {
+    if (elem_bytes == 72) {  // (3,3,2) float32 flow grid
+      for (int64_t i = lo; i < hi; ++i)
+        std::memcpy(dst + dst_idx[i] * 72, src + src_idx[i] * 72, 72);
+    } else if (elem_bytes == 8) {
+      const uint64_t* s = reinterpret_cast<const uint64_t*>(src);
+      uint64_t* d = reinterpret_cast<uint64_t*>(dst);
+      for (int64_t i = lo; i < hi; ++i) d[dst_idx[i]] = s[src_idx[i]];
+    } else if (elem_bytes == 4) {
+      const uint32_t* s = reinterpret_cast<const uint32_t*>(src);
+      uint32_t* d = reinterpret_cast<uint32_t*>(dst);
+      for (int64_t i = lo; i < hi; ++i) d[dst_idx[i]] = s[src_idx[i]];
+    } else if (elem_bytes == 1) {
+      for (int64_t i = lo; i < hi; ++i) dst[dst_idx[i]] = src[src_idx[i]];
+    } else {
+      for (int64_t i = lo; i < hi; ++i)
+        std::memcpy(dst + dst_idx[i] * elem_bytes, src + src_idx[i] * elem_bytes,
+                    elem_bytes);
+    }
+  };
+  if (n_threads <= 1 || n < 1 << 14) {
+    work(0, n);
+    return;
+  }
+  std::vector<std::thread> threads;
+  const int64_t chunk = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    const int64_t lo = t * chunk;
+    const int64_t hi = std::min(n, lo + chunk);
+    if (lo >= hi) break;
+    threads.emplace_back(work, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+}
+
+// Touch one byte per page with several threads so the kernel's first-touch
+// page faults (the dominant cost of writing a fresh multi-hundred-MB numpy
+// buffer on this host) happen in parallel before the single-threaded fill.
+void lfr_prefault(uint8_t* ptr, int64_t nbytes, int n_threads) {
+  const int64_t kPage = 4096;
+  auto work = [=](int64_t lo, int64_t hi) {
+    for (int64_t off = lo; off < hi; off += kPage) ptr[off] = 0;
+  };
+  if (n_threads <= 1 || nbytes < (int64_t{32} << 20)) {
+    work(0, nbytes);
+    return;
+  }
+  std::vector<std::thread> threads;
+  int64_t chunk = (nbytes + n_threads - 1) / n_threads;
+  chunk = ((chunk + kPage - 1) / kPage) * kPage;
+  for (int t = 0; t < n_threads; ++t) {
+    const int64_t lo = t * chunk;
+    const int64_t hi = std::min(nbytes, lo + chunk);
+    if (lo >= hi) break;
+    threads.emplace_back(work, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+}
 
 // Union-find with image-disjoint merge constraint.
 //

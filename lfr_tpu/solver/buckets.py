@@ -20,6 +20,7 @@ from typing import Dict, Iterator, List, Tuple
 
 import numpy as np
 
+from . import native
 from .graph import PatchGraph
 from .lm import ComponentBatch
 from .tracks import Tracks
@@ -73,12 +74,16 @@ def iter_packed(
     comp_sizes = np.bincount(component_idx, minlength=n_comp)
 
     # Keep directed edges internal to a component (reference drops
-    # cross-component edges, solve.cc:114-123 `continue`).
+    # cross-component edges, solve.cc:114-123 `continue`).  The flow grids
+    # (the bulk of the data) are NOT gathered here — per-chunk fills read
+    # them straight from ``graph.edge_flow`` through composed indices, so
+    # the ~72 B/edge payload moves exactly once, in the native kernel.
     keep = component_idx[graph.edge_src] == component_idx[graph.edge_dst]
-    esrc = graph.edge_src[keep]
-    edst = graph.edge_dst[keep]
-    esim = graph.edge_sim[keep]
-    eflow = graph.edge_flow[keep]
+    kept = np.nonzero(keep)[0]
+    all_flow = np.ascontiguousarray(graph.edge_flow, dtype=np.float32)
+    esrc = graph.edge_src[kept]
+    edst = graph.edge_dst[kept]
+    esim = graph.edge_sim[kept]
     eintra = tracks.track_idx[esrc] == tracks.track_idx[edst]
     ecomp = component_idx[esrc]
 
@@ -97,6 +102,12 @@ def iter_packed(
     pos_in_sorted = np.empty(n_nodes, dtype=np.int64)
     pos_in_sorted[node_order] = np.arange(n_nodes)
     local_idx = pos_in_sorted - node_starts[component_idx]
+
+    # Per-edge local endpoints, precomputed once in the solver's int32.
+    local_src = local_idx[esrc].astype(np.int32)
+    local_dst = local_idx[edst].astype(np.int32)
+    eintra_u8 = eintra.view(np.uint8)
+    use_native = native.gather_scatter_available()
 
     # Bucket assignment (vectorized: bucket = next pow2 of size).
     sizes = comp_sizes
@@ -143,12 +154,25 @@ def iter_packed(
             eidx, erows, ecols = _gather_segments(
                 edge_order, edge_starts, edge_ends, chunk
             )
-            b_esrc[erows, ecols] = local_idx[esrc[eidx]]
-            b_edst[erows, ecols] = local_idx[edst[eidx]]
-            b_esim[erows, ecols] = esim[eidx]
-            b_eflow[erows, ecols] = eflow[eidx]
-            b_eintra[erows, ecols] = eintra[eidx]
-            b_evalid[erows, ecols] = True
+            if use_native:
+                dflat = erows * np.int64(e_bucket) + ecols
+                native.gather_scatter(local_src, eidx, dflat, b_esrc.reshape(-1))
+                native.gather_scatter(local_dst, eidx, dflat, b_edst.reshape(-1))
+                native.gather_scatter(esim, eidx, dflat, b_esim.reshape(-1))
+                native.gather_scatter(
+                    all_flow, kept[eidx], dflat, b_eflow.reshape(-1, 3, 3, 2)
+                )
+                native.gather_scatter(
+                    eintra_u8, eidx, dflat, b_eintra.view(np.uint8).reshape(-1)
+                )
+                b_evalid.reshape(-1)[dflat] = True
+            else:
+                b_esrc[erows, ecols] = local_src[eidx]
+                b_edst[erows, ecols] = local_dst[eidx]
+                b_esim[erows, ecols] = esim[eidx]
+                b_eflow[erows, ecols] = all_flow[kept[eidx]]
+                b_eintra[erows, ecols] = eintra[eidx]
+                b_evalid[erows, ecols] = True
 
             yield (
                 ComponentBatch(

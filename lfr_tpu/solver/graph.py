@@ -19,6 +19,7 @@ from typing import Dict, List, Optional, Sequence, Set
 
 import numpy as np
 
+from . import native
 from ..io.protos import PairMatches
 
 
@@ -141,6 +142,9 @@ def build_graph(
     edge_dst = np.empty(n_edge, np.int64)
     edge_sim = np.empty(n_edge, np.float32)
     edge_flow = np.empty((n_edge, 3, 3, 2), np.float32)
+    # Parallel first-touch: at Madrid scale the flow buffer alone is
+    # ~150 MB and single-threaded page-fault cost dominates the fill.
+    native.prefault(edge_flow)
     match_src = np.empty(n_match, np.int64)
     match_dst = np.empty(n_match, np.int64)
     match_sim = np.empty(n_match, np.float32)

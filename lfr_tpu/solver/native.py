@@ -63,6 +63,69 @@ def msf_union_find(
     return parent
 
 
+def prefault(arr: np.ndarray, n_threads: int = 4) -> bool:
+    """Parallel first-touch of a freshly allocated buffer (see
+    ``lfr_prefault``).  No-op returning False without the native library."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "lfr_prefault"):
+        return False
+    if not hasattr(lib, "_pf_ready"):
+        lib.lfr_prefault.restype = None
+        lib.lfr_prefault.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
+        lib._pf_ready = True
+    lib.lfr_prefault(arr.ctypes.data, arr.nbytes, n_threads)
+    return True
+
+
+def gather_scatter_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "lfr_gather_scatter")
+
+
+def gather_scatter(
+    src: np.ndarray,
+    src_idx: np.ndarray,
+    dst_idx: np.ndarray,
+    dst: np.ndarray,
+    n_threads: int = 4,
+) -> bool:
+    """``dst[dst_idx[i]] = src[src_idx[i]]`` over the leading axis, via the
+    multithreaded native kernel.  Returns False (no-op) when the native
+    library is unavailable so callers can fall back to NumPy.  ``dst_idx``
+    must be disjoint (each destination slot written at most once)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "lfr_gather_scatter"):
+        return False
+    if not hasattr(lib, "_gs_ready"):
+        lib.lfr_gather_scatter.restype = None
+        lib.lfr_gather_scatter.argtypes = [
+            ctypes.c_void_p,  # src
+            ctypes.c_int64,  # elem_bytes
+            ctypes.POINTER(ctypes.c_int64),  # src_idx
+            ctypes.POINTER(ctypes.c_int64),  # dst_idx
+            ctypes.c_int64,  # n
+            ctypes.c_void_p,  # dst
+            ctypes.c_int,  # n_threads
+        ]
+        lib._gs_ready = True
+    assert src.flags.c_contiguous and dst.flags.c_contiguous
+    assert src.dtype == dst.dtype
+    elem = src.dtype.itemsize * int(np.prod(src.shape[1:], dtype=np.int64))
+    src_idx = np.ascontiguousarray(src_idx, dtype=np.int64)
+    dst_idx = np.ascontiguousarray(dst_idx, dtype=np.int64)
+    p64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
+    lib.lfr_gather_scatter(
+        src.ctypes.data,
+        elem,
+        p64(src_idx),
+        p64(dst_idx),
+        src_idx.shape[0],
+        dst.ctypes.data,
+        n_threads,
+    )
+    return True
+
+
 def decode_matching_file_native(data: bytes):
     """Native MatchingFile decode -> list of PairMatches (or None if the
     library is unavailable)."""

@@ -294,3 +294,43 @@ def test_solve_file_roundtrip(tmp_path):
     for s in sols:
         assert s.fact == 1.5
         assert s.feature_indices.shape[0] == 1
+
+
+def test_pack_native_matches_numpy(monkeypatch):
+    """The native multithreaded gather/scatter pack must produce byte-equal
+    batches to the pure-NumPy fallback on a random multi-component graph."""
+    from lfr_tpu.solver import native
+
+    if not native.gather_scatter_available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(3)
+    pairs = []
+    for a in range(6):
+        for b in range(a + 1, 6):
+            n = int(rng.integers(3, 40))
+            feats = rng.integers(0, 60, (n, 2))
+            pairs.append(
+                _pair(
+                    f"im{a}", f"im{b}", feats.tolist(),
+                    rng.uniform(0.2, 1.0, n).tolist(),
+                    rng.normal(0, 0.2, (n, 3, 3, 2)).astype(np.float32),
+                    rng.normal(0, 0.2, (n, 3, 3, 2)).astype(np.float32),
+                )
+            )
+    g = graph.build_graph(pairs)
+    tr = tracks.build_tracks(g)
+    comp = partition.partition_components(g, tr)
+    p_nat = buckets.pack_components(g, tr, comp)
+    monkeypatch.setattr(native, "gather_scatter_available", lambda: False)
+    p_np = buckets.pack_components(g, tr, comp)
+    assert len(p_nat.batches) == len(p_np.batches) > 0
+    fields = (
+        "edge_src", "edge_dst", "edge_sim", "edge_flow",
+        "edge_intra", "edge_valid", "is_root", "node_valid",
+    )
+    for bn, bp, mn, mp_ in zip(
+        p_nat.batches, p_np.batches, p_nat.node_maps, p_np.node_maps
+    ):
+        for f in fields:
+            assert np.array_equal(getattr(bn, f), getattr(bp, f)), f
+        assert np.array_equal(mn, mp_)
