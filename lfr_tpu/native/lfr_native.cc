@@ -60,6 +60,31 @@ void lfr_gather_scatter(
   for (auto& th : threads) th.join();
 }
 
+// Scatter variable-size blocks into one destination buffer, multithreaded:
+//   memcpy(dst_base + dst_off[i], srcs[i], nbytes[i])
+// This is graph build's flow-grid fill (solver/graph.py): per-pair disp
+// grids (~150 MB total at Madrid scale) land in the flat edge_flow array.
+// Threads grab whole blocks round-robin; blocks per call (2 per image
+// pair) are few enough that scheduling cost is negligible and large
+// enough that per-block parallelism isn't needed.
+void lfr_copy_blocks(
+    const uint8_t* const* srcs, const int64_t* dst_off, const int64_t* nbytes,
+    int64_t n, uint8_t* dst_base, int n_threads) {
+  auto work = [=](int t, int stride) {
+    for (int64_t i = t; i < n; i += stride)
+      std::memcpy(dst_base + dst_off[i], srcs[i], nbytes[i]);
+  };
+  int64_t total = 0;
+  for (int64_t i = 0; i < n; ++i) total += nbytes[i];
+  if (n_threads <= 1 || total < (int64_t{8} << 20)) {
+    work(0, 1);
+    return;
+  }
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(work, t, n_threads);
+  for (auto& th : threads) th.join();
+}
+
 // Touch one byte per page with several threads so the kernel's first-touch
 // page faults (the dominant cost of writing a fresh multi-hundred-MB numpy
 // buffer on this host) happen in parallel before the single-threaded fill.

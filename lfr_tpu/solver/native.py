@@ -126,6 +126,51 @@ def gather_scatter(
     return True
 
 
+def copy_blocks_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "lfr_copy_blocks")
+
+
+def copy_blocks(
+    srcs: "list[np.ndarray]",
+    dst: np.ndarray,
+    dst_offsets: np.ndarray,
+    n_threads: int = 4,
+) -> bool:
+    """``dst.view(bytes)[dst_offsets[i]:+srcs[i].nbytes] = srcs[i]`` for all
+    blocks at once, multithreaded (see ``lfr_copy_blocks``).  Offsets are in
+    BYTES from ``dst``'s base.  Returns False (no-op) when unavailable.
+    Sources must be C-contiguous and dtype-compatible with ``dst``."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "lfr_copy_blocks"):
+        return False
+    if not hasattr(lib, "_cb_ready"):
+        lib.lfr_copy_blocks.restype = None
+        lib.lfr_copy_blocks.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),  # srcs
+            ctypes.POINTER(ctypes.c_int64),  # dst_off (bytes)
+            ctypes.POINTER(ctypes.c_int64),  # nbytes
+            ctypes.c_int64,  # n
+            ctypes.c_void_p,  # dst_base
+            ctypes.c_int,  # n_threads
+        ]
+        lib._cb_ready = True
+    n = len(srcs)
+    src_ptrs = (ctypes.c_void_p * n)()
+    nbytes = np.empty(n, dtype=np.int64)
+    for i, s in enumerate(srcs):
+        assert s.flags.c_contiguous
+        src_ptrs[i] = s.ctypes.data
+        nbytes[i] = s.nbytes
+    dst_offsets = np.ascontiguousarray(dst_offsets, dtype=np.int64)
+    assert dst.flags.c_contiguous
+    p64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
+    lib.lfr_copy_blocks(
+        src_ptrs, p64(dst_offsets), p64(nbytes), n, dst.ctypes.data, n_threads
+    )
+    return True
+
+
 def decode_matching_file_native(data: bytes):
     """Native MatchingFile decode -> list of PairMatches (or None if the
     library is unavailable)."""
