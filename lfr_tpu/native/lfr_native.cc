@@ -179,6 +179,73 @@ void lfr_msf_union_find(
   }
 }
 
+// Sort match indices by (sim desc, src desc, dst desc, idx desc) — the
+// exact order np.lexsort((dst, src, sim))[::-1] produces (reversed stable
+// ascending) and the order the reference's MSF consumes
+// (reference: multi-view-refinement/solve.cc:488-490).  Parallel merge
+// sort: chunk std::sort in threads, then pairwise merges.
+void lfr_sort_matches_desc(
+    int64_t n,
+    const float* sim,
+    const int64_t* src,
+    const int64_t* dst,
+    int64_t* order,
+    int n_threads) {
+  for (int64_t i = 0; i < n; ++i) order[i] = i;
+  auto cmp = [&](int64_t a, int64_t b) {
+    if (sim[a] != sim[b]) return sim[a] > sim[b];
+    if (src[a] != src[b]) return src[a] > src[b];
+    if (dst[a] != dst[b]) return dst[a] > dst[b];
+    return a > b;
+  };
+  if (n_threads < 1) n_threads = 1;
+  if (n < 1 << 15 || n_threads == 1) {
+    std::sort(order, order + n, cmp);
+    return;
+  }
+  // Round chunk count down to a power of two for clean pairwise merging.
+  int chunks = 1;
+  while (chunks * 2 <= n_threads) chunks *= 2;
+  std::vector<int64_t> bounds(chunks + 1);
+  for (int c = 0; c <= chunks; ++c) bounds[c] = n * c / chunks;
+  {
+    std::vector<std::thread> threads;
+    for (int c = 0; c < chunks; ++c) {
+      threads.emplace_back([&, c] {
+        std::sort(order + bounds[c], order + bounds[c + 1], cmp);
+      });
+    }
+    for (auto& t : threads) t.join();
+  }
+  std::vector<int64_t> buf(n);
+  int64_t* a = order;
+  int64_t* b = buf.data();
+  for (int step = chunks; step > 1; step /= 2) {
+    std::vector<std::thread> threads;
+    for (int c = 0; c < step; c += 2) {
+      threads.emplace_back([&, c] {
+        int64_t lo = bounds[c], mid = bounds[c + 1], hi = bounds[c + 2];
+        std::merge(a + lo, a + mid, a + mid, a + hi, b + lo, cmp);
+      });
+    }
+    for (auto& t : threads) t.join();
+    for (int c = 0; c + 2 <= step; c += 2) bounds[c / 2] = bounds[c];
+    bounds[step / 2] = n;
+    std::swap(a, b);
+  }
+  if (a != order) std::copy(a, a + n, order);
+}
+
+// Stable counting argsort for small-range integer keys (component ids):
+// O(n + n_vals) — replaces np.argsort(kind="stable") in the bucket packer.
+void lfr_counting_argsort(
+    int64_t n, const int64_t* vals, int64_t n_vals, int64_t* order) {
+  std::vector<int64_t> starts(n_vals + 1, 0);
+  for (int64_t i = 0; i < n; ++i) ++starts[vals[i] + 1];
+  for (int64_t v = 0; v < n_vals; ++v) starts[v + 1] += starts[v];
+  for (int64_t i = 0; i < n; ++i) order[starts[vals[i]]++] = i;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -88,12 +88,12 @@ def iter_packed(
     ecomp = component_idx[esrc]
 
     # Group nodes and edges by component.
-    node_order = np.argsort(component_idx, kind="stable")
+    node_order = native.counting_argsort(component_idx, n_comp)
     node_comp_sorted = component_idx[node_order]
     node_starts = np.searchsorted(node_comp_sorted, np.arange(n_comp))
     node_ends = np.append(node_starts[1:], n_nodes)
 
-    edge_order = np.argsort(ecomp, kind="stable")
+    edge_order = native.counting_argsort(ecomp, n_comp)
     ecomp_sorted = ecomp[edge_order]
     edge_starts = np.searchsorted(ecomp_sorted, np.arange(n_comp))
     edge_ends = np.append(edge_starts[1:], esrc.shape[0])

@@ -99,89 +99,131 @@ def build_graph(
             np.zeros(0, dtype=np.float32),
         )
 
-    # Gather all (image, feature) endpoints, then dedup into node ids.
-    img_parts = []
-    feat_parts = []
-    for i1, i2, pair in per_pair:
+    # Kick off the flow-grid scatter FIRST on worker threads: it only needs
+    # the per-pair disp blocks and their edge offsets (known from counts),
+    # and it is the largest single fill (~72 B/edge, ~150 MB at Madrid
+    # scale).  It overlaps the node interning below on the main thread.
+    counts = np.asarray([p.num_matches for _, _, p in per_pair], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(2 * counts)])
+    moffsets = np.concatenate([[0], np.cumsum(counts)])
+    n_match = int(counts.sum())
+    n_edge = 2 * n_match
+
+    edge_flow = np.empty((n_edge, 3, 3, 2), np.float32)
+    flow_blocks: List[np.ndarray] = []
+    flow_offsets: List[int] = []
+    elem = 9 * 2 * 4  # (3,3,2) float32
+    for k, (_, _, pair) in enumerate(per_pair):
+        flow_blocks.append(np.ascontiguousarray(pair.disp2, dtype=np.float32))
+        flow_offsets.append(int(offsets[k]) * elem)
+        flow_blocks.append(np.ascontiguousarray(pair.disp1, dtype=np.float32))
+        flow_offsets.append(int(offsets[k] + counts[k]) * elem)
+    flow_async = native.copy_blocks_async(
+        flow_blocks, edge_flow, np.asarray(flow_offsets)
+    )
+
+    # Gather all (image, feature) endpoints into preallocated buffers
+    # (block layout per pair: [side1 x c, side2 x c]) — no per-pair
+    # temporaries, no giant concatenate.
+    all_img = np.empty(n_edge, dtype=np.int64)
+    all_feat = np.empty(n_edge, dtype=np.int64)
+    for k, (i1, i2, pair) in enumerate(per_pair):
+        b, c = int(offsets[k]), int(counts[k])
         m = pair.matches
-        img_parts.append(np.full(m.shape[0], i1, dtype=np.int64))
-        feat_parts.append(m[:, 0].astype(np.int64))
-        img_parts.append(np.full(m.shape[0], i2, dtype=np.int64))
-        feat_parts.append(m[:, 1].astype(np.int64))
-    all_img = np.concatenate(img_parts)
-    all_feat = np.concatenate(feat_parts)
+        all_img[b : b + c] = i1
+        all_img[b + c : b + 2 * c] = i2
+        all_feat[b : b + c] = m[:, 0]
+        all_feat[b + c : b + 2 * c] = m[:, 1]
 
     # Node id = index of unique (image, feature) key, in first-seen order to
     # keep deterministic layout.  (A C++ hash-map interner was measured
-    # slower than this sort-based path at 4M keys; numpy stays.)
-    keys = all_img * (all_feat.max() + 1) + all_feat
-    # return_index yields the first occurrence of each unique key directly
-    # (np.minimum.at over millions of endpoints measured ~10x slower).
-    uniq, first_pos, inverse = np.unique(keys, return_index=True, return_inverse=True)
-    order = np.argsort(first_pos, kind="stable")
-    rank = np.empty_like(order)
-    rank[order] = np.arange(order.shape[0])
-    node_of_endpoint = rank[inverse]  # (2*M) node id per endpoint
-    n_nodes = uniq.shape[0]
+    # slower than the numpy paths at 4M keys.)
+    feat_span = int(all_feat.max()) + 1
+    keys = all_img * feat_span + all_feat
+    table_size = len(image_ids) * feat_span
+    if table_size <= 64_000_000:
+        # Dense-table interning: keys are (image, feature) with a small
+        # feature span, so first-occurrence + rank are plain O(n) scatter/
+        # gathers — no 2M-endpoint sort.  Reverse-order scatter leaves the
+        # FIRST occurrence index in the table (later writes land first).
+        first = np.full(table_size, -1, dtype=np.int64)
+        # Contiguous reversed copy: fancy assignment through a negative-
+        # stride view is ~2x slower than through a fresh contiguous buffer.
+        rev_keys = np.ascontiguousarray(keys[::-1])
+        first[rev_keys] = np.arange(keys.shape[0] - 1, -1, -1, dtype=np.int64)
+        uniq_keys = np.flatnonzero(first >= 0)
+        order = np.argsort(first[uniq_keys], kind="stable")  # first-seen order
+        n_nodes = uniq_keys.shape[0]
+        rank_table = np.full(table_size, -1, dtype=np.int64)
+        rank_table[uniq_keys[order]] = np.arange(n_nodes, dtype=np.int64)
+        node_of_endpoint = rank_table[keys]  # (2*M) node id per endpoint
+    else:
+        # Sparse feature span: fall back to the sort-based unique.
+        uniq, first_pos, inverse = np.unique(
+            keys, return_index=True, return_inverse=True
+        )
+        order = np.argsort(first_pos, kind="stable")
+        rank = np.empty_like(order)
+        rank[order] = np.arange(order.shape[0])
+        node_of_endpoint = rank[inverse]  # (2*M) node id per endpoint
+        n_nodes = uniq.shape[0]
     node_image = np.zeros(n_nodes, dtype=np.int64)
     node_feature = np.zeros(n_nodes, dtype=np.int64)
     node_image[node_of_endpoint] = all_img
     node_feature[node_of_endpoint] = all_feat
 
-    # Split endpoint ids back per pair: endpoints were appended as
-    # [pair0 side1, pair0 side2, pair1 side1, ...].  Edge arrays are
-    # preallocated and filled by slice assignment — one 2M-edge pass over
-    # preallocated buffers instead of thousands of list appends plus a
-    # giant concatenate (~2x faster at Madrid scale).
-    counts = [p.num_matches for _, _, p in per_pair]
-    offsets = np.cumsum([0] + [2 * c for c in counts])
-    n_match = int(sum(counts))
-    n_edge = 2 * n_match
-
-    edge_src = np.empty(n_edge, np.int64)
+    # Endpoints were appended as [pair0 side1, pair0 side2, pair1 side1,
+    # ...] and the directed edge layout is [pair0 fwd, pair0 bwd, pair1
+    # fwd, ...] — so ``edge_src`` IS the endpoint array, and every other
+    # edge/match column is a pure BLOCK PERMUTATION of it (swap the two
+    # halves of each pair block): multithreaded native block copies with
+    # zero index arithmetic, falling back to per-pair slice assignment.
+    edge_src = node_of_endpoint
     edge_dst = np.empty(n_edge, np.int64)
     edge_sim = np.empty(n_edge, np.float32)
-    edge_flow = np.empty((n_edge, 3, 3, 2), np.float32)
-    # Parallel first-touch: at Madrid scale the flow buffer alone is
-    # ~150 MB and single-threaded page-fault cost dominates the fill.
-    native.prefault(edge_flow)
     match_src = np.empty(n_match, np.int64)
     match_dst = np.empty(n_match, np.int64)
     match_sim = np.empty(n_match, np.float32)
 
-    # Flow grids are the bulk of the fill (~72 B/edge; ~150 MB at Madrid
-    # scale): scatter all per-pair disp blocks in one multithreaded native
-    # pass when available, falling back to the slice-assignment loop.
-    flow_blocks: List[np.ndarray] = []
-    flow_offsets: List[int] = []
-    elem = 9 * 2 * 4  # (3,3,2) float32
+    sims = [np.ascontiguousarray(p.similarities, np.float32) for _, _, p in per_pair]
+    noe = node_of_endpoint
+    if native.copy_blocks_available():
+        dst_blocks, dst_offs = [], []
+        esim_blocks, esim_offs = [], []
+        msrc_blocks, mdst_blocks, msim_offs = [], [], []
+        for k in range(counts.shape[0]):
+            b, c, mb = int(offsets[k]), int(counts[k]), int(moffsets[k])
+            s1 = noe[b : b + c]
+            s2 = noe[b + c : b + 2 * c]
+            dst_blocks += [s2, s1]
+            dst_offs += [b * 8, (b + c) * 8]
+            esim_blocks += [sims[k], sims[k]]
+            esim_offs += [b * 4, (b + c) * 4]
+            msrc_blocks.append(s1)
+            mdst_blocks.append(s2)
+            msim_offs.append(mb)
+        moff8 = [o * 8 for o in msim_offs]
+        native.copy_blocks(dst_blocks, edge_dst, np.asarray(dst_offs))
+        native.copy_blocks(esim_blocks, edge_sim, np.asarray(esim_offs))
+        native.copy_blocks(msrc_blocks, match_src, np.asarray(moff8))
+        native.copy_blocks(mdst_blocks, match_dst, np.asarray(moff8))
+        native.copy_blocks(sims, match_sim, np.asarray([o * 4 for o in msim_offs]))
+    else:
+        for k in range(counts.shape[0]):
+            b, c, mb = int(offsets[k]), int(counts[k]), int(moffsets[k])
+            s1 = noe[b : b + c]
+            s2 = noe[b + c : b + 2 * c]
+            edge_dst[b : b + c] = s2
+            edge_dst[b + c : b + 2 * c] = s1
+            edge_sim[b : b + c] = sims[k]
+            edge_sim[b + c : b + 2 * c] = sims[k]
+            match_src[mb : mb + c] = s1
+            match_dst[mb : mb + c] = s2
+            match_sim[mb : mb + c] = sims[k]
 
-    epos = 0
-    mpos = 0
-    for k, (i1, i2, pair) in enumerate(per_pair):
-        c = counts[k]
-        base = offsets[k]
-        n1 = node_of_endpoint[base : base + c]
-        n2 = node_of_endpoint[base + c : base + 2 * c]
-        sim = pair.similarities
-        # Directed edges with flow-toward-dst grids.
-        edge_src[epos : epos + c] = n1
-        edge_dst[epos : epos + c] = n2
-        edge_sim[epos : epos + c] = sim
-        edge_src[epos + c : epos + 2 * c] = n2
-        edge_dst[epos + c : epos + 2 * c] = n1
-        edge_sim[epos + c : epos + 2 * c] = sim
-        flow_blocks.append(np.ascontiguousarray(pair.disp2, dtype=np.float32))
-        flow_offsets.append(epos * elem)
-        flow_blocks.append(np.ascontiguousarray(pair.disp1, dtype=np.float32))
-        flow_offsets.append((epos + c) * elem)
-        epos += 2 * c
-        match_src[mpos : mpos + c] = n1
-        match_dst[mpos : mpos + c] = n2
-        match_sim[mpos : mpos + c] = sim
-        mpos += c
-
-    if not native.copy_blocks(flow_blocks, edge_flow, np.asarray(flow_offsets)):
+    # Join the async flow-grid scatter started before interning (falls back
+    # to a slice-assignment loop when the native library is absent).
+    if not flow_async():
         for blk, off in zip(flow_blocks, flow_offsets):
             start = off // elem
             edge_flow[start : start + blk.shape[0]] = blk

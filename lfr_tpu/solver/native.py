@@ -63,6 +63,43 @@ def msf_union_find(
     return parent
 
 
+def sort_matches_desc(
+    sim: np.ndarray, src: np.ndarray, dst: np.ndarray, n_threads: int = 4
+) -> np.ndarray:
+    """Match order by (sim desc, src desc, dst desc) — parallel native sort
+    byte-identical to ``np.lexsort((dst, src, sim))[::-1]``."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("native library not built")
+    sim = np.ascontiguousarray(sim, dtype=np.float32)
+    src = np.ascontiguousarray(src, dtype=np.int64)
+    dst = np.ascontiguousarray(dst, dtype=np.int64)
+    order = np.empty(sim.shape[0], dtype=np.int64)
+    p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
+    lib.lfr_sort_matches_desc(
+        sim.shape[0],
+        sim.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        p(src),
+        p(dst),
+        p(order),
+        n_threads,
+    )
+    return order
+
+
+def counting_argsort(vals: np.ndarray, n_vals: int) -> np.ndarray:
+    """Stable argsort for small-range int keys; O(n) native counting sort.
+    Identical ordering to ``np.argsort(vals, kind="stable")``."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "lfr_counting_argsort"):
+        return np.argsort(vals, kind="stable")
+    vals = np.ascontiguousarray(vals, dtype=np.int64)
+    order = np.empty(vals.shape[0], dtype=np.int64)
+    p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
+    lib.lfr_counting_argsort(vals.shape[0], p(vals), int(n_vals), p(order))
+    return order
+
+
 def prefault(arr: np.ndarray, n_threads: int = 4) -> bool:
     """Parallel first-touch of a freshly allocated buffer (see
     ``lfr_prefault``).  No-op returning False without the native library."""
@@ -169,6 +206,34 @@ def copy_blocks(
         src_ptrs, p64(dst_offsets), p64(nbytes), n, dst.ctypes.data, n_threads
     )
     return True
+
+
+def copy_blocks_async(
+    srcs: "list[np.ndarray]",
+    dst: np.ndarray,
+    dst_offsets: np.ndarray,
+    n_threads: int = 3,
+):
+    """Launch :func:`copy_blocks` on a worker thread (ctypes releases the
+    GIL for the native call, so it overlaps main-thread NumPy work).
+
+    Returns a join() callable: True once the copy completed natively, False
+    immediately when the native library is unavailable (caller falls back).
+    """
+    if not copy_blocks_available():
+        return lambda: False
+    import threading
+
+    t = threading.Thread(
+        target=copy_blocks, args=(srcs, dst, dst_offsets, n_threads), daemon=True
+    )
+    t.start()
+
+    def join() -> bool:
+        t.join()
+        return True
+
+    return join
 
 
 def decode_matching_file_native(data: bytes):

@@ -75,18 +75,22 @@ def build_tracks(graph: PatchGraph, use_native: bool = True) -> Tracks:
 
     # Sort matches by similarity descending; ties broken like the C++
     # (sim, src, dst) tuple sort: larger src then dst first after reverse.
-    order = np.lexsort((graph.match_dst, graph.match_src, graph.match_sim))[::-1]
-
+    order = None
     parent = None
     if use_native:
         try:
-            from .native import msf_union_find
+            from .native import msf_union_find, sort_matches_desc
 
+            order = sort_matches_desc(
+                graph.match_sim, graph.match_src, graph.match_dst
+            )
             parent = msf_union_find(
                 order, graph.match_src, graph.match_dst, graph.node_image, n
             )
         except ImportError:
             parent = None
+    if order is None:
+        order = np.lexsort((graph.match_dst, graph.match_src, graph.match_sim))[::-1]
     if parent is None:
         parent = _msf_python(order, graph.match_src, graph.match_dst, graph.node_image, n)
 
@@ -112,8 +116,11 @@ def build_tracks(graph: PatchGraph, use_native: bool = True) -> Tracks:
     # highest-scored node of each track becomes the frozen root
     # (reference: solve.cc:551-582).
     intra = track_idx[graph.edge_src] == track_idx[graph.edge_dst]
-    scores = np.zeros(n, dtype=np.float64)
-    np.add.at(scores, graph.edge_src[intra], graph.edge_sim[intra].astype(np.float64))
+    scores = np.bincount(
+        graph.edge_src[intra],
+        weights=graph.edge_sim[intra].astype(np.float64),
+        minlength=n,
+    )
 
     # Stable emulation of the C++ sort by (score, node_idx) descending; the
     # first node of each track in that order is its anchor.
