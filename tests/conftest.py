@@ -23,3 +23,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Build the native C++ kernels once per session if absent, so the
+# native-parity tests run instead of skipping (build takes ~5 s).
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_so = os.path.join(_repo, "lfr_tpu", "native", "liblfr_native.so")
+if not os.path.exists(_so):
+    import subprocess
+
+    subprocess.run(
+        ["bash", os.path.join(_repo, "lfr_tpu", "native", "build.sh")],
+        check=False,
+        capture_output=True,
+    )
