@@ -61,3 +61,29 @@ def compare_reconstructions(
     raw_common = restrict_to_images(raw_model, common)
     ref_common = restrict_to_images(ref_model, common)
     return analyze_model(raw_common), analyze_model(ref_common)
+
+
+def main(argv=None) -> None:
+    """CLI mirroring the reference comparator
+    (reference: local-feature-evaluation/compare_reconstructions.py:16-107)."""
+    import argparse
+    import json
+
+    parser = argparse.ArgumentParser(
+        description="compare two reconstructions on commonly registered images"
+    )
+    parser.add_argument("--raw_model", required=True, help="raw model directory")
+    parser.add_argument("--ref_model", required=True, help="refined model directory")
+    args = parser.parse_args(argv)
+
+    raw = model_mod.read_model(args.raw_model)
+    ref = model_mod.read_model(args.ref_model)
+    common = registered_image_names(raw) & registered_image_names(ref)
+    raw_stats, ref_stats = compare_reconstructions(raw, ref)
+    print(f"common registered images: {len(common)}")
+    print("raw:", json.dumps(raw_stats))
+    print("ref:", json.dumps(ref_stats))
+
+
+if __name__ == "__main__":
+    main()
