@@ -144,19 +144,29 @@ def _octave_candidates(gaussians, dogs, top_k: int, peak_threshold: float = PEAK
         r = EDGE_THRESHOLD
         edge_ok = (det > 0) & (tr * tr * r < (r + 1) ** 2 * det)
 
-        # Subpixel offset: solve H3 delta = -g (closed form 3x3).
-        H3 = jnp.stack(
+        # Subpixel offset: solve H3 delta = -g. Closed-form symmetric-3x3
+        # cofactor inverse — pure elementwise VPU math that XLA fuses into
+        # the surrounding maps (jnp.linalg.solve on (H, W, 3, 3) batches of
+        # tiny systems was ~30x the cost of the whole gaussian pyramid).
+        dxx_r = dxx + 1e-8  # regularize to keep inverses finite on flats
+        dyy_r = dyy + 1e-8
+        dss_r = dss + 1e-8
+        c00 = dyy_r * dss_r - dys * dys
+        c01 = dxs * dys - dxy * dss_r
+        c02 = dxy * dys - dyy_r * dxs
+        c11 = dxx_r * dss_r - dxs * dxs
+        c12 = dxy * dxs - dxx_r * dys
+        c22 = dxx_r * dyy_r - dxy * dxy
+        det = dxx_r * c00 + dxy * c01 + dxs * c02
+        inv_det = jnp.where(jnp.abs(det) > 1e-20, 1.0 / det, 0.0)
+        delta = jnp.stack(
             [
-                jnp.stack([dxx, dxy, dxs], -1),
-                jnp.stack([dxy, dyy, dys], -1),
-                jnp.stack([dxs, dys, dss], -1),
+                -(c00 * gx + c01 * gy + c02 * ds_) * inv_det,
+                -(c01 * gx + c11 * gy + c12 * ds_) * inv_det,
+                -(c02 * gx + c12 * gy + c22 * ds_) * inv_det,
             ],
-            -2,
-        )  # (H, W, 3, 3)
-        g3 = jnp.stack([gx, gy, ds_], -1)
-        # Regularize to keep inverses finite on flat regions.
-        H3 = H3 + 1e-8 * jnp.eye(3)
-        delta = -jnp.linalg.solve(H3, g3[..., None])[..., 0]  # (H, W, 3) x,y,s
+            -1,
+        )  # (H, W, 3) x,y,s
         ok_delta = jnp.all(jnp.abs(delta) < 1.5, axis=-1)
 
         value = d[lv] + 0.5 * (gx * delta[..., 0] + gy * delta[..., 1] + ds_ * delta[..., 2])
@@ -170,7 +180,10 @@ def _octave_candidates(gaussians, dogs, top_k: int, peak_threshold: float = PEAK
     delta_map = jnp.stack([dl for _, dl in levels])           # (S, H, W, 3)
 
     flat = score_map.reshape(-1)
-    scores, idx = jax.lax.top_k(flat, top_k)
+    # approx_max_k maps onto the TPU's tiled reduction units (exact top_k
+    # sorts the whole map); >=99% recall of an already-heuristic candidate
+    # set is an acceptable trade.
+    scores, idx = jax.lax.approx_max_k(flat, top_k, recall_target=0.99)
     lv = idx // (h * w)
     ij = idx % (h * w)
     i = ij // w
@@ -188,11 +201,44 @@ def _octave_candidates(gaussians, dogs, top_k: int, peak_threshold: float = PEAK
     return scores, pos, valid
 
 
-def _orientation_histogram(gauss, kp_ij, sigma):
+def _gradient_stack(G):
+    """Dense per-level gradient images for levels 1..NUM_SCALES.
+
+    G: (L, H, W) gaussians.  Returns (H, W, S*2) with channel layout
+    [level, (gx, gy)] flattened — gx is the column derivative, gy the
+    **y-up** (negated row) derivative, matching the classic SIFT
+    convention so descriptors stay comparable with OpenCV's.  Computing
+    gradients densely once and bilinearly sampling them replaces four
+    finite-difference sample passes per kernel with one.
+    """
+    levels = G[1 : NUM_SCALES + 1]  # (S, H, W)
+    gx = (jnp.roll(levels, -1, 2) - jnp.roll(levels, 1, 2)) / 2.0
+    gy = -(jnp.roll(levels, -1, 1) - jnp.roll(levels, 1, 1)) / 2.0
+    grad = jnp.stack([gx, gy], -1)  # (S, H, W, 2)
+    s, h, w, _ = grad.shape
+    return jnp.transpose(grad, (1, 2, 0, 3)).reshape(h, w, s * 2)
+
+
+def _sample_gradients(grad_stack, coords, level_onehot):
+    """One bilinear gather of all levels' gradients + per-keypoint level
+    select.  coords (K, P, 2); returns (gxv, gyv) each (K, P)."""
+    g = sample_bilinear(grad_stack, coords)  # (K, P, S*2)
+    k, p, _ = g.shape
+    g = g.reshape(k, p, -1, 2)
+    sel = jnp.einsum("kpsa,ks->kpa", g, level_onehot)
+    return sel[..., 0], sel[..., 1]
+
+
+@jax.jit
+def _orientation_histogram(grad_stack, kp_ij, sigma, level_onehot):
     """36-bin orientation histogram around each keypoint.
 
-    gauss: (H, W); kp_ij (K, 2); sigma (K,) in this octave's pixels.
-    Returns (K, 36).
+    grad_stack: (H, W, S*2) — per-level gradients as channels (see
+    :func:`_gradient_stack`); kp_ij (K, 2); sigma (K,) in this octave's
+    pixels; level_onehot (K, S) selects each keypoint's level.  Sampling
+    all levels as channels in one gather keeps every shape fixed (no
+    per-level data-dependent subsets → one compiled program per octave
+    resolution).  Returns (K, 36).
     """
     n_samples = 16
     lin = jnp.linspace(-1.0, 1.0, n_samples)
@@ -201,21 +247,7 @@ def _orientation_histogram(gauss, kp_ij, sigma):
     radius = 3.0 * 1.5 * sigma  # Lowe: 1.5 sigma Gaussian, 3x radius
     coords = kp_ij[:, None, :] + window[None] * radius[:, None, None]
 
-    img = gauss[:, :, None]
-    # Gradients via finite differences of bilinear samples.
-    eps = 0.5
-    ex = jnp.array([0.0, eps])
-    ey = jnp.array([eps, 0.0])
-    gxv = (
-        sample_bilinear(img, coords + ex)[..., 0]
-        - sample_bilinear(img, coords - ex)[..., 0]
-    )
-    # y-up gradient (negated row derivative): matches the classic SIFT
-    # convention, making descriptors directly comparable with OpenCV's.
-    gyv = -(
-        sample_bilinear(img, coords + ey)[..., 0]
-        - sample_bilinear(img, coords - ey)[..., 0]
-    )
+    gxv, gyv = _sample_gradients(grad_stack, coords, level_onehot)
     mag = jnp.sqrt(gxv**2 + gyv**2)
     ang = jnp.arctan2(gyv, gxv)  # [-pi, pi]
 
@@ -236,12 +268,14 @@ def _orientation_histogram(gauss, kp_ij, sigma):
     return hist
 
 
-def _descriptors(gauss, kp_ij, sigma, theta):
+@jax.jit
+def _descriptors(grad_stack, kp_ij, sigma, theta, level_onehot):
     """128-D SIFT descriptors.
 
     Samples a rotated 16x16 gradient grid spanning +-2 histogram widths
     (histogram width = 3 sigma), accumulates 4x4x8 bins with bilinear
-    spatial weights as one matmul.
+    spatial weights as one matmul.  ``grad_stack``/``level_onehot`` as in
+    :func:`_orientation_histogram` — fixed shapes, one compile per octave.
     """
     n = DESC_SAMPLES
     lin = (jnp.arange(n) + 0.5) / n * DESC_WIDTH - DESC_WIDTH / 2  # in hist units
@@ -258,18 +292,7 @@ def _descriptors(gauss, kp_ij, sigma, theta):
     offsets = jnp.einsum("kab,sb->ksa", rot, grid) * hist_width[:, None, None]
     coords = kp_ij[:, None, :] + offsets
 
-    img = gauss[:, :, None]
-    eps = 0.5
-    ex = jnp.array([0.0, eps])
-    ey = jnp.array([eps, 0.0])
-    gxv = (
-        sample_bilinear(img, coords + ex)[..., 0]
-        - sample_bilinear(img, coords - ex)[..., 0]
-    )
-    gyv = -(
-        sample_bilinear(img, coords + ey)[..., 0]
-        - sample_bilinear(img, coords - ey)[..., 0]
-    )  # y-up, see _orientation_histogram
+    gxv, gyv = _sample_gradients(grad_stack, coords, level_onehot)
     mag = jnp.sqrt(gxv**2 + gyv**2)
     ang = jnp.arctan2(gyv, gxv) - theta[:, None]
 
@@ -301,20 +324,93 @@ def _descriptors(gauss, kp_ij, sigma, theta):
     return desc
 
 
+def _device_octave_features(G, R, top_k: int, peak_threshold: float, sigma0: float):
+    """Traced octave feature pipeline shared by the SIFT and DoH detectors.
+
+    G: (L, H, W) gaussian stack with levels 1..NUM_SCALES usable for
+    sampling; R: (S+2, H, W) extremum response stack (DoG or det-Hessian).
+    Candidates, orientation, and descriptors all run on device with fixed
+    shapes — zero host syncs, one compiled program per octave resolution.
+    Returns (scores (K,), pos (K, 3), valid (K,), sigma (K,), theta (K,),
+    desc (K, 128)) with K = top_k; invalid rows are garbage, masked on host.
+    """
+    scores, pos, valid = _octave_candidates(G, R, top_k=top_k, peak_threshold=peak_threshold)
+    lv = pos[:, 0]
+    ij = pos[:, 1:3]
+    sigma = sigma0 * (2.0 ** ((lv - 1.0) / NUM_SCALES))  # octave pixels
+    lv_round = jnp.clip(jnp.round(lv - 1.0).astype(jnp.int32) + 1, 1, NUM_SCALES)
+    onehot = jax.nn.one_hot(lv_round - 1, NUM_SCALES)
+    grad_stack = _gradient_stack(G)
+
+    hist = _orientation_histogram(grad_stack, ij, sigma, onehot)
+
+    # Parabolic peak interpolation over the 36-bin circular histogram.
+    peak = jnp.argmax(hist, axis=1)
+
+    def take1(idx):
+        return jnp.take_along_axis(hist, idx[:, None], axis=1)[:, 0]
+
+    left = take1((peak - 1) % ORI_BINS)
+    right = take1((peak + 1) % ORI_BINS)
+    center = take1(peak)
+    denom = left - 2.0 * center + right
+    offset = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (left - right) / denom, 0.0)
+    theta = (peak.astype(jnp.float32) + offset + 0.5) / ORI_BINS * 2.0 * jnp.pi
+
+    desc = _descriptors(grad_stack, ij, sigma, theta, onehot)
+    # Pack into one (K, 135) row block: a single host transfer per image
+    # instead of one per array (the device link has ~50 ms per-transfer
+    # latency, which dominated extraction wall-clock).
+    return jnp.concatenate(
+        [
+            scores[:, None],
+            pos,
+            valid[:, None].astype(jnp.float32),
+            sigma[:, None],
+            theta[:, None],
+            desc,
+        ],
+        axis=1,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_octaves", "max_per_octave"))
+def _sift_pyramid(img, n_octaves: int, max_per_octave: int):
+    """Whole-image SIFT extraction as one device program.
+
+    Unrolls every octave (static count), fusing pyramid construction,
+    extremum detection, orientation, and descriptors — the host touches
+    the device exactly once per image.
+    """
+    k = 2.0 ** (1.0 / NUM_SCALES)
+    sigmas = [SIGMA0 * (k**i) for i in range(NUM_SCALES + 3)]
+    inc = [math.sqrt(max(sigmas[i] ** 2 - sigmas[i - 1] ** 2, 1e-8)) for i in range(1, len(sigmas))]
+    base_blur = math.sqrt(max(SIGMA0**2 - INIT_SIGMA**2, 0.01))
+
+    out = []
+    octave_img = _blur(img, _gaussian_kernel(base_blur))
+    for octave in range(n_octaves):
+        gaussians = [octave_img]
+        for s_inc in inc:
+            gaussians.append(_blur(gaussians[-1], _gaussian_kernel(s_inc)))
+        G = jnp.stack(gaussians)                     # (S+3, H, W)
+        D = G[1:] - G[:-1]                           # (S+2, H, W)
+        # Detection counts drop ~4x per octave; shrink the budget with them.
+        top_k = max(256, max_per_octave >> octave)
+        out.append(_device_octave_features(G, D, top_k, PEAK_THRESHOLD, SIGMA0))
+        octave_img = _downsample2(gaussians[NUM_SCALES])
+    return jnp.concatenate(out, axis=0)
+
+
 #: Images pad (reflect) to multiples of this before extraction so that one
 #: set of compiled octave programs serves a whole dataset of mixed sizes.
 SIFT_IMAGE_BUCKET = 128
 
 
-def extract_sift(
-    image: np.ndarray,
-    max_features: int = 4096,
-    max_per_octave: int = 2048,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Extract SIFT features from an (H, W) or (H, W, 3) image.
+def prepare_image(image: np.ndarray, min_dim: float):
+    """Gray-convert, bucket-pad (reflect), and normalize an input image.
 
-    Returns (keypoints (K, 4) [x, y, scale, orientation], scores (K,),
-    descriptors (K, 128) L2-normalized float32), in input-image pixels.
+    Returns (img (H, W) jnp float32 in [0, 1], true_h, true_w, n_octaves).
     """
     if image.ndim == 3:
         image = image @ np.array([0.299, 0.587, 0.114])
@@ -328,84 +424,41 @@ def extract_sift(
             mode="reflect",
         )
     img = jnp.asarray(image, jnp.float32) / (255.0 if image.max() > 2 else 1.0)
-
     h, w = img.shape
-    n_octaves = max(1, int(np.log2(min(h, w) / 16.0)))
+    n_octaves = max(1, int(np.log2(min(h, w) / min_dim)))
+    return img, true_h, true_w, n_octaves
 
-    k = 2.0 ** (1.0 / NUM_SCALES)
-    sigmas = [SIGMA0 * (k**i) for i in range(NUM_SCALES + 3)]
-    # Incremental blurs between levels.
-    inc = [math.sqrt(max(sigmas[i] ** 2 - sigmas[i - 1] ** 2, 1e-8)) for i in range(1, len(sigmas))]
-    base_blur = math.sqrt(max(SIGMA0**2 - INIT_SIGMA**2, 0.01))
 
+def octave_sizes(n_octaves: int, max_per_octave: int):
+    """Static per-octave candidate budgets (must match the pyramid fns)."""
+    return [max(256, max_per_octave >> o) for o in range(n_octaves)]
+
+
+def collect_octave_features(packed, sizes, true_h, true_w, max_features):
+    """Host-side tail shared by the detectors: unpack the single (sum K,
+    135) row block, mask invalid slots, map back to input-image pixels,
+    drop reflect-band mirrors, keep the top-K."""
     all_kp, all_scores, all_desc = [], [], []
-
-    octave_img = _blur(img, _gaussian_kernel(base_blur))
-    for octave in range(n_octaves):
-        gaussians = [octave_img]
-        for s_inc in inc:
-            gaussians.append(_blur(gaussians[-1], _gaussian_kernel(s_inc)))
-        G = jnp.stack(gaussians)                     # (S+3, H, W)
-        D = G[1:] - G[:-1]                           # (S+2, H, W)
-
-        scores, pos, valid = _octave_candidates(G, D, top_k=max_per_octave)
-        scores = np.asarray(scores)
-        pos = np.asarray(pos)
-        valid_np = np.asarray(valid)
-        take = np.nonzero(valid_np)[0]
-        if take.size:
-            lv = pos[take, 0]
-            ij = pos[take, 1:3]
-            sigma = SIGMA0 * (2.0 ** ((lv - 1.0) / NUM_SCALES))  # octave pixels
-
-            # Orientation from the nearest gaussian level.
-            lv_round = np.clip(np.round(lv - 1).astype(int) + 1, 1, NUM_SCALES)
-            hists = []
-            for level in range(1, NUM_SCALES + 1):
-                sel = lv_round == level
-                if not sel.any():
-                    continue
-                hist = _orientation_histogram(
-                    G[level], jnp.asarray(ij[sel]), jnp.asarray(sigma[sel])
-                )
-                hists.append((sel, np.asarray(hist)))
-            hist_all = np.zeros((take.size, ORI_BINS), np.float32)
-            for sel, hval in hists:
-                hist_all[sel] = hval
-
-            peak = hist_all.argmax(axis=1)
-            # Parabolic peak interpolation.
-            left = hist_all[np.arange(take.size), (peak - 1) % ORI_BINS]
-            right = hist_all[np.arange(take.size), (peak + 1) % ORI_BINS]
-            center = hist_all[np.arange(take.size), peak]
-            denom = left - 2 * center + right
-            offset = np.where(np.abs(denom) > 1e-12, 0.5 * (left - right) / denom, 0.0)
-            theta = (peak + offset + 0.5) / ORI_BINS * 2 * np.pi
-
-            # Descriptors per level group.
-            desc_all = np.zeros((take.size, 128), np.float32)
-            for level in range(1, NUM_SCALES + 1):
-                sel = lv_round == level
-                if not sel.any():
-                    continue
-                dvals = _descriptors(
-                    G[level],
-                    jnp.asarray(ij[sel]),
-                    jnp.asarray(sigma[sel]),
-                    jnp.asarray(theta[sel]),
-                )
-                desc_all[sel] = np.asarray(dvals)
-
-            scale_mult = 2.0**octave
-            xy = ij[:, ::-1] * scale_mult  # (col, row) -> (x, y)
-            kp = np.stack(
-                [xy[:, 0], xy[:, 1], sigma * scale_mult, theta], axis=1
-            )
-            all_kp.append(kp)
-            all_scores.append(scores[take])
-            all_desc.append(desc_all)
-
-        octave_img = _downsample2(gaussians[NUM_SCALES])
+    offset = 0
+    for octave, k in enumerate(sizes):
+        block = packed[offset : offset + k]
+        offset += k
+        scores = block[:, 0]
+        pos = block[:, 1:4]
+        valid = block[:, 4] > 0
+        sigma = block[:, 5]
+        theta = block[:, 6]
+        desc = block[:, 7:]
+        take = np.nonzero(valid)[0]
+        if not take.size:
+            continue
+        ij = pos[take, 1:3]
+        mult = 2.0**octave
+        xy = ij[:, ::-1] * mult  # (col, row) -> (x, y)
+        kp = np.stack([xy[:, 0], xy[:, 1], sigma[take] * mult, theta[take]], axis=1)
+        all_kp.append(kp)
+        all_scores.append(scores[take])
+        all_desc.append(desc[take])
 
     if not all_kp:
         return np.zeros((0, 4)), np.zeros(0), np.zeros((0, 128), np.float32)
@@ -420,3 +473,19 @@ def extract_sift(
         order = np.argsort(-scores)[:max_features]
         kp, scores, desc = kp[order], scores[order], desc[order]
     return kp, scores, desc.astype(np.float32)
+
+
+def extract_sift(
+    image: np.ndarray,
+    max_features: int = 4096,
+    max_per_octave: int = 2048,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Extract SIFT features from an (H, W) or (H, W, 3) image.
+
+    Returns (keypoints (K, 4) [x, y, scale, orientation], scores (K,),
+    descriptors (K, 128) L2-normalized float32), in input-image pixels.
+    """
+    img, true_h, true_w, n_octaves = prepare_image(image, min_dim=16.0)
+    packed = np.asarray(_sift_pyramid(img, n_octaves, max_per_octave))
+    sizes = octave_sizes(n_octaves, max_per_octave)
+    return collect_octave_features(packed, sizes, true_h, true_w, max_features)
