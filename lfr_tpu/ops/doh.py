@@ -77,7 +77,24 @@ def extract_doh(
     Returns (keypoints (K, 4) [x, y, scale, orientation], scores,
     descriptors) in input-image pixels.
     """
+    return collect_doh(dispatch_doh(image, max_features, max_per_octave, threshold))
+
+
+def dispatch_doh(
+    image: np.ndarray,
+    max_features: int = 4096,
+    max_per_octave: int = 2048,
+    threshold: float = HESSIAN_THRESHOLD,
+):
+    """Async dispatch; see lfr_tpu.ops.sift.dispatch_sift."""
     img, true_h, true_w, n_octaves = sift_mod.prepare_image(image, min_dim=24.0)
-    packed = np.asarray(_doh_pyramid(img, n_octaves, max_per_octave, threshold))
+    packed = _doh_pyramid(img, n_octaves, max_per_octave, threshold)
     sizes = sift_mod.octave_sizes(n_octaves, max_per_octave)
-    return sift_mod.collect_octave_features(packed, sizes, true_h, true_w, max_features)
+    return packed, sizes, true_h, true_w, max_features
+
+
+def collect_doh(handle) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    packed, sizes, true_h, true_w, max_features = handle
+    return sift_mod.collect_octave_features(
+        np.asarray(packed), sizes, true_h, true_w, max_features
+    )

@@ -475,6 +475,29 @@ def collect_octave_features(packed, sizes, true_h, true_w, max_features):
     return kp, scores, desc.astype(np.float32)
 
 
+def dispatch_sift(
+    image: np.ndarray, max_features: int = 4096, max_per_octave: int = 2048
+):
+    """Upload + asynchronously dispatch SIFT extraction for one image.
+
+    Returns an opaque handle for :func:`collect_sift`.  Dispatch returns
+    before the device finishes, so callers can pipeline the next image's
+    host work (decode/resize/npz write) against device execution and the
+    result transfer — the device link has ~50 ms per-call latency that a
+    serial loop pays three times per image.
+    """
+    img, true_h, true_w, n_octaves = prepare_image(image, min_dim=16.0)
+    packed = _sift_pyramid(img, n_octaves, max_per_octave)
+    sizes = octave_sizes(n_octaves, max_per_octave)
+    return packed, sizes, true_h, true_w, max_features
+
+
+def collect_sift(handle) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Block on a :func:`dispatch_sift` handle and return its features."""
+    packed, sizes, true_h, true_w, max_features = handle
+    return collect_octave_features(np.asarray(packed), sizes, true_h, true_w, max_features)
+
+
 def extract_sift(
     image: np.ndarray,
     max_features: int = 4096,
@@ -485,7 +508,4 @@ def extract_sift(
     Returns (keypoints (K, 4) [x, y, scale, orientation], scores (K,),
     descriptors (K, 128) L2-normalized float32), in input-image pixels.
     """
-    img, true_h, true_w, n_octaves = prepare_image(image, min_dim=16.0)
-    packed = np.asarray(_sift_pyramid(img, n_octaves, max_per_octave))
-    sizes = octave_sizes(n_octaves, max_per_octave)
-    return collect_octave_features(packed, sizes, true_h, true_w, max_features)
+    return collect_sift(dispatch_sift(image, max_features, max_per_octave))

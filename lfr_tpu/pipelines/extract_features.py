@@ -10,6 +10,7 @@ coordinates before writing the npz contract files.
 from __future__ import annotations
 
 import argparse
+import collections
 import os
 import sys
 from typing import Callable, Dict
@@ -37,6 +38,22 @@ def _sift(image: np.ndarray, max_features: int):
     return extract_sift(image, max_features=max_features)
 
 
+def _sift_dispatch(image, max_features):
+    from ..ops.sift import dispatch_sift
+
+    return dispatch_sift(image, max_features=max_features)
+
+
+def _sift_collect(handle):
+    from ..ops.sift import collect_sift
+
+    return collect_sift(handle)
+
+
+_sift.dispatch = _sift_dispatch
+_sift.collect = _sift_collect
+
+
 @register_extractor("surf")
 def _surf(image: np.ndarray, max_features: int):
     """Real SURF: box-filter det-of-Hessian + Haar extended descriptors
@@ -62,6 +79,22 @@ def _doh(image: np.ndarray, max_features: int):
     return extract_doh(image, max_features=max_features)
 
 
+def _doh_dispatch(image, max_features):
+    from ..ops.doh import dispatch_doh
+
+    return dispatch_doh(image, max_features=max_features)
+
+
+def _doh_collect(handle):
+    from ..ops.doh import collect_doh
+
+    return collect_doh(handle)
+
+
+_doh.dispatch = _doh_dispatch
+_doh.collect = _doh_collect
+
+
 def extract_directory(
     image_path: str,
     method_name: str,
@@ -77,8 +110,26 @@ def extract_directory(
             f"no extractor registered for {method_name!r}; available: {sorted(EXTRACTORS)}"
         )
     ext = (output_extension or f".{method_name}").lstrip(".")
+    dispatch = getattr(extractor, "dispatch", None)
+    collect = getattr(extractor, "collect", None)
+
+    def finish(name, path, h, w, factor, keypoints, scores, descriptors):
+        # Back to original-image coordinates
+        # (reference: extract_features_surf.py:66-69).
+        keypoints = keypoints.copy()
+        keypoints[:, :2] *= factor
+        if keypoints.shape[1] > 2 and getattr(extractor, "scale_column", True):
+            keypoints[:, 2] *= factor
+        features_io.save_features(path, keypoints, descriptors, scores, method_name=ext)
+        if verbose:
+            print(
+                f"[{name}] {h}x{w}, factor {factor:.4f}; {keypoints.shape[0]} keypoints",
+                file=sys.stderr,
+                flush=True,
+            )
 
     count = 0
+    pending = collections.deque()  # (name, path, h, w, factor, handle)
     for name in sorted(os.listdir(image_path)):
         path = os.path.join(image_path, name)
         try:
@@ -88,23 +139,20 @@ def extract_directory(
         h, w = image.shape[:2]
         factor = max(1.0, max(h, w) / max_edge)
         small = images_io.resize_by_factor(image, factor)
-
-        keypoints, scores, descriptors = extractor(small, max_features)
-        # Back to original-image coordinates
-        # (reference: extract_features_surf.py:66-69).
-        keypoints = keypoints.copy()
-        keypoints[:, :2] *= factor
-        if keypoints.shape[1] > 2 and getattr(extractor, "scale_column", True):
-            keypoints[:, 2] *= factor
-
-        features_io.save_features(path, keypoints, descriptors, scores, method_name=ext)
         count += 1
-        if verbose:
-            print(
-                f"[{name}] {h}x{w}, factor {factor:.4f}; {keypoints.shape[0]} keypoints",
-                file=sys.stderr,
-                flush=True,
-            )
+
+        if dispatch is None:
+            finish(name, path, h, w, factor, *extractor(small, max_features))
+            continue
+        # Pipelined path: dispatch image N+1 before syncing image N, so
+        # host decode/npz IO and the device-link round trips overlap.
+        pending.append((name, path, h, w, factor, dispatch(small, max_features)))
+        if len(pending) >= 3:
+            rec = pending.popleft()
+            finish(*rec[:5], *collect(rec[5]))
+    while pending:
+        rec = pending.popleft()
+        finish(*rec[:5], *collect(rec[5]))
     return count
 
 
