@@ -415,8 +415,23 @@ class TwoViewRefiner:
             )
             grid12 = c12[:, None, None] + 0.5 * fine12
             grid21 = c21[:, None, None] + 0.5 * fine21
-            matches = jnp.stack([idx1, idx2], axis=1)
-            return matches, sim_out, valid, grid12, grid21, n_keep
+            # Pack everything into ONE (K, 41) row block — the host link
+            # has ~50 ms per-transfer latency, so six separate result
+            # arrays per pair would cost more than the CNN itself.
+            # Layout: [idx1, idx2, sim, valid, grid12 (18), grid21 (18),
+            # n_keep (broadcast)].
+            return jnp.concatenate(
+                [
+                    idx1[:, None].astype(jnp.float32),
+                    idx2[:, None].astype(jnp.float32),
+                    sim_out[:, None],
+                    valid[:, None].astype(jnp.float32),
+                    grid12.reshape(-1, 18),
+                    grid21.reshape(-1, 18),
+                    jnp.full((idx1.shape[0], 1), n_keep, jnp.float32),
+                ],
+                axis=1,
+            )
 
         self._match_and_refine = _match_and_refine
         #: Pairs whose match count overflowed the default capacity and were
@@ -508,8 +523,8 @@ class TwoViewRefiner:
         import sys
 
         out, capacity, max_capacity, retry_args = pending
-        matches, sims, valid, grid12, grid21, n_keep = out
-        n_keep = int(n_keep)
+        packed = np.asarray(out)  # one transfer for the whole pair
+        n_keep = int(packed[0, 40])
         if n_keep > capacity and capacity < max_capacity:
             new_cap = min(-(-n_keep // 1024) * 1024, max_capacity)
             self.regrown_pairs += 1
@@ -521,12 +536,12 @@ class TwoViewRefiner:
             return self.finalize_pair(
                 self.process_pair(*retry_args, max_matches=new_cap)
             )
-        valid = np.asarray(valid)
+        rows = packed[packed[:, 3] > 0]
         return (
-            np.asarray(matches)[valid].astype(np.int64),
-            np.asarray(sims)[valid],
-            np.asarray(grid12)[valid],
-            np.asarray(grid21)[valid],
+            rows[:, 0:2].astype(np.int64),
+            rows[:, 2].astype(np.float32),
+            rows[:, 4:22].reshape(-1, 3, 3, 2).astype(np.float32),
+            rows[:, 22:40].reshape(-1, 3, 3, 2).astype(np.float32),
         )
 
     # ------------------------------------------------------------------
