@@ -183,7 +183,11 @@ def _triangulate_and_refine(P, uv, mask, centers, iterations: int = GN_ITERATION
         return jnp.max(jnp.where(pair_ok, ang, 0.0))
 
     max_angle = jax.vmap(angles_one)(points, centers, mask)
-    return points, reproj_sq, depths, max_angle
+    # One (T, 4 + 2V) row block = one host transfer per bucket
+    # (layout: [X (3), max_angle, reproj_sq (V), depths (V)]).
+    return jnp.concatenate(
+        [points, max_angle[:, None], reproj_sq, depths], axis=1
+    )
 
 
 @dataclasses.dataclass
@@ -251,55 +255,70 @@ def triangulate_model(
 
     min_angle_rad = np.deg2rad(min_tri_angle_deg)
 
-    for bucket, trs in sorted(by_bucket.items()):
-        T = len(trs)
-        P = np.zeros((T, bucket, 3, 4), np.float64)
-        uv = np.zeros((T, bucket, 2), np.float64)
-        mask = np.zeros((T, bucket), bool)
-        ctr = np.zeros((T, bucket, 3), np.float64)
-        for k, tr in enumerate(trs):
-            for v, (iid, fidx) in enumerate(tr):
-                P[k, v] = Ps[iid]
-                uv[k, v] = norm_uv[iid][fidx]
-                ctr[k, v] = centers[iid]
-                mask[k, v] = True
+    #: Chunk huge buckets so the padded batch stays HBM-friendly.
+    MAX_CHUNK = 4096
 
-        pts, reproj_sq, depths, max_angle = _triangulate_and_refine(
-            jnp.asarray(P), jnp.asarray(uv), jnp.asarray(mask), jnp.asarray(ctr)
-        )
-        pts = np.asarray(pts)
-        reproj_sq = np.asarray(reproj_sq)
-        depths = np.asarray(depths)
-        max_angle = np.asarray(max_angle)
+    for bucket, trs_all in sorted(by_bucket.items()):
+        chunks = [trs_all[s : s + MAX_CHUNK] for s in range(0, len(trs_all), MAX_CHUNK)]
+        for trs in chunks:
+            # Pad the track count to a power-of-2 bucket (min 256) so
+            # compiled programs are reused across runs/datasets — T varies
+            # per scene and an unpadded leading dim recompiled the whole GN
+            # program each run.
+            T = len(trs)
+            Tp = 1 << max(8, int(T - 1).bit_length())
+            P = np.zeros((Tp, bucket, 3, 4), np.float64)
+            uv = np.zeros((Tp, bucket, 2), np.float64)
+            mask = np.zeros((Tp, bucket), bool)
+            ctr = np.zeros((Tp, bucket, 3), np.float64)
+            for k, tr in enumerate(trs):
+                for v, (iid, fidx) in enumerate(tr):
+                    P[k, v] = Ps[iid]
+                    uv[k, v] = norm_uv[iid][fidx]
+                    ctr[k, v] = centers[iid]
+                    mask[k, v] = True
+            # Padded rows get identity cameras; their outputs are ignored.
+            P[T:, :, :, :3] = np.eye(3)
+            mask[T:, 0] = True
 
-        for k, tr in enumerate(trs):
-            if not np.isfinite(pts[k]).all():
-                continue
-            if max_angle[k] < min_angle_rad:
-                continue
-            # Per-observation gating: positive depth + pixel reproj error.
-            keep = []
-            errs = []
-            for v, (iid, fidx) in enumerate(tr):
-                err_px = np.sqrt(reproj_sq[k, v]) * focal[iid]
-                if depths[k, v] > 0 and err_px <= max_reproj_error:
-                    keep.append((iid, fidx))
-                    errs.append(err_px)
-            if len(keep) < min_track_length:
-                continue
-            pid = next_pid
-            next_pid += 1
-            image_ids = np.array([iid for iid, _ in keep])
-            point2D_idxs = np.array([fi for _, fi in keep])
-            err = float(np.mean(errs))
-            points3D[pid] = model_mod.Point3D(
-                pid, pts[k].astype(np.float64), np.full(3, 128, np.uint8), err,
-                image_ids, point2D_idxs,
-            )
-            for iid, fi in keep:
-                per_image_obs[iid].append((int(fi), pid))
-            sum_err += err * len(keep)
-            n_obs_total += len(keep)
+            packed = np.asarray(
+                _triangulate_and_refine(
+                    jnp.asarray(P), jnp.asarray(uv), jnp.asarray(mask), jnp.asarray(ctr)
+                )
+            )[:T]
+            pts = packed[:, :3]
+            max_angle = packed[:, 3]
+            reproj_sq = packed[:, 4 : 4 + bucket]
+            depths = packed[:, 4 + bucket :]
+
+            for k, tr in enumerate(trs):
+                if not np.isfinite(pts[k]).all():
+                    continue
+                if max_angle[k] < min_angle_rad:
+                    continue
+                # Per-observation gating: positive depth + pixel reproj error.
+                keep = []
+                errs = []
+                for v, (iid, fidx) in enumerate(tr):
+                    err_px = np.sqrt(reproj_sq[k, v]) * focal[iid]
+                    if depths[k, v] > 0 and err_px <= max_reproj_error:
+                        keep.append((iid, fidx))
+                        errs.append(err_px)
+                if len(keep) < min_track_length:
+                    continue
+                pid = next_pid
+                next_pid += 1
+                image_ids = np.array([iid for iid, _ in keep])
+                point2D_idxs = np.array([fi for _, fi in keep])
+                err = float(np.mean(errs))
+                points3D[pid] = model_mod.Point3D(
+                    pid, pts[k].astype(np.float64), np.full(3, 128, np.uint8), err,
+                    image_ids, point2D_idxs,
+                )
+                for iid, fi in keep:
+                    per_image_obs[iid].append((int(fi), pid))
+                sum_err += err * len(keep)
+                n_obs_total += len(keep)
 
     # Assemble the output model: per-image point lists reference keypoints.
     out = model_mod.Model(cameras=dict(cams), images={}, points3D=points3D)

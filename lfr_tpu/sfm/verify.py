@@ -115,6 +115,80 @@ def _pad_points(x: np.ndarray, bucket: int) -> Tuple[np.ndarray, np.ndarray]:
     return out, valid
 
 
+@jax.jit
+def _verify_program(x1, x2, valid, key):
+    """F-RANSAC + H-RANSAC for one pair as a single program, packed into
+    one flat vector [n_F, n_H, F (9), H (9), inl_F (N), inl_H (N)] so the
+    result costs one host transfer (~50 ms link latency per transfer)."""
+    kF, kH = jax.random.split(key)
+    F, inl_F, n_F = _ransac_fundamental(x1, x2, valid, kF)
+    H, inl_H, n_H = _ransac_homography(x1, x2, valid, kH)
+    return jnp.concatenate(
+        [
+            jnp.stack([n_F, n_H]).astype(jnp.float32),
+            F.ravel().astype(jnp.float32),
+            H.ravel().astype(jnp.float32),
+            inl_F.astype(jnp.float32),
+            inl_H.astype(jnp.float32),
+        ]
+    )
+
+
+def dispatch_verify(
+    keypoints1: np.ndarray,
+    keypoints2: np.ndarray,
+    matches: np.ndarray,
+    seed: int = 0,
+):
+    """Asynchronously dispatch one pair's verification; pair with
+    :func:`collect_verify`.  Callers can keep a few pairs in flight to
+    overlap device RANSAC with host DB writes (see
+    pipelines.import_features)."""
+    if matches.shape[0] < 8:
+        return None
+    x1 = keypoints1[matches[:, 0], :2].astype(np.float32)
+    x2 = keypoints2[matches[:, 1], :2].astype(np.float32)
+    x1p, valid = _pad_points(x1, MATCH_BUCKET)
+    x2p, _ = _pad_points(x2, MATCH_BUCKET)
+    key = jax.random.PRNGKey(seed)
+    return _verify_program(jnp.asarray(x1p), jnp.asarray(x2p), jnp.asarray(valid), key)
+
+
+def collect_verify(
+    handle,
+    matches: np.ndarray,
+    min_num_inliers: int = MIN_NUM_INLIERS,
+) -> TwoViewGeometry:
+    """Block on a :func:`dispatch_verify` handle and classify the pair.
+
+    Emulates COLMAP's classification: estimate F and H; report degenerate /
+    planar when H explains (almost) as many inliers as F.
+    """
+    if handle is None:
+        return TwoViewGeometry(np.zeros((0, 2), np.uint32), CONFIG_DEGENERATE, np.eye(3))
+    packed = np.asarray(handle)  # one transfer per pair
+    n_F = int(packed[0])
+    n_H = int(packed[1])
+    F = packed[2:11].reshape(3, 3).astype(np.float64)
+    H = packed[11:20].reshape(3, 3).astype(np.float64)
+    n = (packed.shape[0] - 20) // 2
+    inl_F = packed[20 : 20 + n] > 0
+    inl_H = packed[20 + n :] > 0
+
+    if n_F < min_num_inliers:
+        return TwoViewGeometry(np.zeros((0, 2), np.uint32), CONFIG_DEGENERATE, F)
+
+    # COLMAP planarity test: H inliers / F inliers >= 0.8 -> planar/panoramic.
+    if n_H >= 0.8 * n_F:
+        mask = inl_H[: matches.shape[0]]
+        config = CONFIG_PLANAR_OR_PANORAMIC
+    else:
+        mask = inl_F[: matches.shape[0]]
+        config = CONFIG_UNCALIBRATED
+
+    return TwoViewGeometry(matches[mask].astype(np.uint32), config, F, H)
+
+
 def verify_pair(
     keypoints1: np.ndarray,
     keypoints2: np.ndarray,
@@ -122,41 +196,10 @@ def verify_pair(
     seed: int = 0,
     min_num_inliers: int = MIN_NUM_INLIERS,
 ) -> TwoViewGeometry:
-    """Epipolar verification of one pair's putative matches.
-
-    Emulates COLMAP's classification: estimate F and H; report degenerate /
-    planar when H explains (almost) as many inliers as F.
-    """
-    if matches.shape[0] < 8:
-        return TwoViewGeometry(np.zeros((0, 2), np.uint32), CONFIG_DEGENERATE, np.eye(3))
-
-    x1 = keypoints1[matches[:, 0], :2].astype(np.float32)
-    x2 = keypoints2[matches[:, 1], :2].astype(np.float32)
-    x1p, valid = _pad_points(x1, MATCH_BUCKET)
-    x2p, _ = _pad_points(x2, MATCH_BUCKET)
-
-    key = jax.random.PRNGKey(seed)
-    kF, kH = jax.random.split(key)
-    F, inl_F, n_F = _ransac_fundamental(
-        jnp.asarray(x1p), jnp.asarray(x2p), jnp.asarray(valid), kF
-    )
-    H, inl_H, n_H = _ransac_homography(
-        jnp.asarray(x1p), jnp.asarray(x2p), jnp.asarray(valid), kH
-    )
-    n_F = int(n_F)
-    n_H = int(n_H)
-
-    if n_F < min_num_inliers:
-        return TwoViewGeometry(np.zeros((0, 2), np.uint32), CONFIG_DEGENERATE, np.asarray(F))
-
-    # COLMAP planarity test: H inliers / F inliers >= 0.8 -> planar/panoramic.
-    if n_H >= 0.8 * n_F:
-        mask = np.asarray(inl_H)[: matches.shape[0]]
-        config = CONFIG_PLANAR_OR_PANORAMIC
-    else:
-        mask = np.asarray(inl_F)[: matches.shape[0]]
-        config = CONFIG_UNCALIBRATED
-
-    return TwoViewGeometry(
-        matches[mask].astype(np.uint32), config, np.asarray(F), np.asarray(H)
+    """Epipolar verification of one pair's putative matches (synchronous
+    form of dispatch_verify + collect_verify)."""
+    return collect_verify(
+        dispatch_verify(keypoints1, keypoints2, matches, seed=seed),
+        matches,
+        min_num_inliers=min_num_inliers,
     )
