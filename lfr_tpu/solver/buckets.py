@@ -133,7 +133,11 @@ def iter_packed(
         )
         for chunk_start in range(0, len(comps), max_b):
             chunk = comps[chunk_start : chunk_start + max_b]
-            b = len(chunk)
+            # Pad the batch dim to a power of two (problems beyond len(chunk)
+            # are entirely invalid and skipped by the -1 node_map): every
+            # batch dim is then shape-stable across scenes, so the compiled
+            # LM programs are reused run to run.
+            b = 1 << max(2, int(len(chunk) - 1).bit_length())
             b_esrc = np.zeros((b, e_bucket), dtype=np.int32)
             b_edst = np.zeros((b, e_bucket), dtype=np.int32)
             b_esim = np.zeros((b, e_bucket), dtype=np.float32)
