@@ -103,15 +103,25 @@ def compute_match_graph(
     # Device-resident image cache: each image is padded/pyramided on device
     # once and reused across all its pairs (LRU-bounded for HBM).
     prepared = collections.OrderedDict()
-    PREP_CACHE = 8
+    # Exhaustive match lists cycle image2 through every other image per
+    # image1 block, so a small LRU thrashes (one prep per pair); bound the
+    # cache by device bytes instead — ~7 MB per 640x480 image, ~105 MB at
+    # the 1600 px cap, against a 4 GB budget.
+    PREP_CACHE_BYTES = int(4e9)
+    prep_bytes = [0]
+
+    def _prep_size(p):
+        return p.base.array.nbytes + p.up.array.nbytes
 
     def _prep(name, image):
         p = prepared.get(name)
         if p is None:
             p = prepare_image(image)
             prepared[name] = p
-            if len(prepared) > PREP_CACHE:
-                prepared.popitem(last=False)
+            prep_bytes[0] += _prep_size(p)
+            while prep_bytes[0] > PREP_CACHE_BYTES and len(prepared) > 2:
+                _, old = prepared.popitem(last=False)
+                prep_bytes[0] -= _prep_size(old)
         else:
             prepared.move_to_end(name)
         return p
