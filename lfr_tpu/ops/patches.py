@@ -83,11 +83,26 @@ def patch_offsets(patch_size: int = PATCH_SIZE, dtype=jnp.float32) -> jnp.ndarra
     return jnp.stack(jnp.meshgrid(r, r, indexing="ij"), axis=-1)
 
 
+def _window_crop(image_padded, k, bi, bj, window):
+    """Slice a (window, window, C) crop — from one (H, W, C) image or, when
+    ``image_padded`` is a (S, H, W, C) stack, from image ``k`` (the stacked
+    mode serving the cross-pair streaming refiner)."""
+    nch = image_padded.shape[-1]
+    if image_padded.ndim == 4:
+        return jax.lax.dynamic_slice(
+            image_padded, (k, bi, bj, 0), (1, window, window, nch)
+        )[0].astype(jnp.float32)
+    return jax.lax.dynamic_slice(
+        image_padded, (bi, bj, 0), (window, window, nch)
+    ).astype(jnp.float32)
+
+
 def extract_patches_separable(
     image_padded: jnp.ndarray,
     ij: jnp.ndarray,
     patch_size: int = PATCH_SIZE,
     window: int = None,
+    img_idx: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """MXU-friendly patch extraction: per-patch crop + two banded matmuls.
 
@@ -100,13 +115,16 @@ def extract_patches_separable(
 
     ``image_padded`` must already include a reflection margin large enough
     that every window is in bounds (see TwoViewRefiner); ``ij`` are centers
-    in the padded image's coordinates.  Returns (N, ps, ps, C) float32.
+    in the padded image's coordinates.  When ``image_padded`` is a
+    (S, H, W, C) stack, ``img_idx`` (N,) selects the source image per
+    patch.  Returns (N, ps, ps, C) float32.
     """
     if window is None:
         # Row span is ps * ps/(ps-1) ~ ps+1.03; +1 sub-integer base offset
         # +1 bilinear upper tap => ps+4 guarantees in-window taps.
         window = patch_size + 4
     offs = jnp.linspace(-patch_size / 2.0, patch_size / 2.0, patch_size)
+    h, w = image_padded.shape[-3], image_padded.shape[-2]
 
     def weights(center, axis_size):
         # Absolute sample coords along one axis and their integer window.
@@ -122,18 +140,16 @@ def extract_patches_separable(
         w = jnp.maximum(0.0, 1.0 - jnp.abs(rel[:, None] - cols[None, :]))
         return base, w
 
-    def one_patch(center):
-        bi, wi = weights(center[0], image_padded.shape[0])
-        bj, wj = weights(center[1], image_padded.shape[1])
-        crop = jax.lax.dynamic_slice(
-            image_padded,
-            (bi, bj, 0),
-            (window, window, image_padded.shape[2]),
-        ).astype(jnp.float32)
+    def one_patch(center, k):
+        bi, wi = weights(center[0], h)
+        bj, wj = weights(center[1], w)
+        crop = _window_crop(image_padded, k, bi, bj, window)
         tmp = jnp.einsum("rw,wvc->rvc", wi, crop)
         return jnp.einsum("qv,rvc->rqc", wj, tmp)
 
-    return jax.vmap(one_patch)(ij.astype(jnp.float32))
+    if img_idx is not None:
+        return jax.vmap(one_patch)(ij.astype(jnp.float32), img_idx)
+    return jax.vmap(one_patch, in_axes=(0, None))(ij.astype(jnp.float32), 0)
 
 
 def extract_patch_grid_separable(
@@ -141,6 +157,7 @@ def extract_patch_grid_separable(
     ij: jnp.ndarray,
     grid_step: int,
     patch_size: int = PATCH_SIZE,
+    img_idx: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """All 9 patches of the 3x3 (+-grid_step px) offset grid per center from
     ONE crop and two banded matmuls.
@@ -170,14 +187,13 @@ def extract_patch_grid_separable(
         w = jnp.maximum(0.0, 1.0 - jnp.abs(rel[:, None] - cols[None, :]))
         return base, w
 
-    nch = image_padded.shape[2]
+    nch = image_padded.shape[-1]
+    h, w = image_padded.shape[-3], image_padded.shape[-2]
 
-    def one(center):
-        bi, wi = weights(center[0], image_padded.shape[0])
-        bj, wj = weights(center[1], image_padded.shape[1])
-        crop = jax.lax.dynamic_slice(
-            image_padded, (bi, bj, 0), (window, window, nch)
-        ).astype(jnp.float32)
+    def one(center, k):
+        bi, wi = weights(center[0], h)
+        bj, wj = weights(center[1], w)
+        crop = _window_crop(image_padded, k, bi, bj, window)
         tmp = jnp.einsum("rw,wvc->rvc", wi, crop)
         out = jnp.einsum("qv,rvc->rqc", wj, tmp)  # (3ps, 3ps, C)
         out = out.reshape(3, patch_size, 3, patch_size, nch)
@@ -185,13 +201,16 @@ def extract_patch_grid_separable(
             9, patch_size, patch_size, nch
         )
 
-    return jax.vmap(one)(ij.astype(jnp.float32))
+    if img_idx is not None:
+        return jax.vmap(one)(ij.astype(jnp.float32), img_idx)
+    return jax.vmap(one, in_axes=(0, None))(ij.astype(jnp.float32), 0)
 
 
 def extract_crops_unit(
     image_padded: jnp.ndarray,
     ij: jnp.ndarray,
     crop_size: int,
+    img_idx: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Unit-lattice bilinear crops: ``crop_size`` samples at exactly 1 px
     spacing, centered on each (i, j).
@@ -215,16 +234,18 @@ def extract_crops_unit(
         w = jnp.maximum(0.0, 1.0 - jnp.abs(rel[:, None] - cols[None, :]))
         return base, w
 
-    def one(center):
-        bi, wi = weights(center[0], image_padded.shape[0])
-        bj, wj = weights(center[1], image_padded.shape[1])
-        crop = jax.lax.dynamic_slice(
-            image_padded, (bi, bj, 0), (window, window, image_padded.shape[2])
-        ).astype(jnp.float32)
+    h, w = image_padded.shape[-3], image_padded.shape[-2]
+
+    def one(center, k):
+        bi, wi = weights(center[0], h)
+        bj, wj = weights(center[1], w)
+        crop = _window_crop(image_padded, k, bi, bj, window)
         tmp = jnp.einsum("rw,wvc->rvc", wi, crop)
         return jnp.einsum("qv,rvc->rqc", wj, tmp)
 
-    return jax.vmap(one)(ij.astype(jnp.float32))
+    if img_idx is not None:
+        return jax.vmap(one)(ij.astype(jnp.float32), img_idx)
+    return jax.vmap(one, in_axes=(0, None))(ij.astype(jnp.float32), 0)
 
 
 #: Reflection margin added around images for the separable fast path; must

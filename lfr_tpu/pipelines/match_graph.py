@@ -151,6 +151,12 @@ def compute_match_graph(
                 item = refiner.finalize_pair(item)
             _emit(meta, item)
 
+    stream = None
+    if fused:
+        from .stream import MatchRefineStream
+
+        stream = MatchRefineStream(refiner)
+
     feats1 = None
     for pair_idx, (name1, name2) in enumerate(pairs):
         if name1 != cached_name1:
@@ -169,13 +175,14 @@ def compute_match_graph(
             kps1 = feats1.xy / fact1
             kps2 = feats2.xy / fact2
             if fused:
-                pending = refiner.process_pair(
-                    _prep(name1, image1), kps1, feats1.descriptors,
-                    _prep(name2, image2), kps2, feats2.descriptors,
+                stream.add_pair(
+                    meta,
+                    name1, _prep(name1, image1), kps1, feats1.descriptors,
+                    name2, _prep(name2, image2), kps2, feats2.descriptors,
                     method.matcher, method.threshold,
-                    max_matches=max_matches,
                 )
-                queue.append((meta, pending, False))
+                for smeta, payload in stream.ready():
+                    _emit(smeta, payload)
             else:
                 m, sim = matchers.match(
                     feats1.descriptors, feats2.descriptors, method.matcher, method.threshold
@@ -189,10 +196,13 @@ def compute_match_graph(
                     )
                 queue.append((meta, (m, sim, grid12, grid21), True))
         else:
-            z = np.zeros((0, 3, 3, 2), dtype=np.float32)
-            queue.append(
-                (meta, (np.zeros((0, 2), np.int64), np.zeros(0, np.float32), z, z), True)
-            )
+            if fused:
+                stream.add_empty_pair(meta)
+            else:
+                z = np.zeros((0, 3, 3, 2), dtype=np.float32)
+                queue.append(
+                    (meta, (np.zeros((0, 2), np.int64), np.zeros(0, np.float32), z, z), True)
+                )
         _drain(PIPELINE_DEPTH)
 
         if progress and (pair_idx + 1) % 25 == 0:
@@ -203,9 +213,15 @@ def compute_match_graph(
                 flush=True,
             )
         if pair_idx % dump_interval == dump_interval - 1:
+            if fused:
+                for smeta, payload in stream.flush():
+                    _emit(smeta, payload)
             _drain(0)
             _flush(final=False)
 
+    if fused:
+        for smeta, payload in stream.flush():
+            _emit(smeta, payload)
     _drain(0)
     pool.shutdown(wait=False)
     _flush(final=part_idx == -1)

@@ -438,6 +438,125 @@ class TwoViewRefiner:
         #: transparently re-dispatched at a larger one (health counter).
         self.regrown_pairs = 0
 
+        @functools.partial(jax.jit, static_argnames=("matcher",))
+        def _match_only(d1, d2, n1, n2, threshold, matcher: str):
+            """Matching alone, packed as (B1, 3) [nn12, sim, keep] — the
+            cross-pair streaming path matches per pair (cheap) and batches
+            the CNN across pairs (see pipelines.stream)."""
+            from ..ops import matchers as matchers_mod
+
+            if matcher == "similarity":
+                nn12, msim, keep = matchers_mod._mnn_similarity_padded(
+                    d1, d2, n1, n2, threshold
+                )
+            else:
+                nn12, msim, keep = matchers_mod._mnn_ratio_padded(
+                    d1, d2, n1, n2, threshold
+                )
+            return jnp.stack(
+                [nn12.astype(jnp.float32), msim, keep.astype(jnp.float32)], axis=1
+            )
+
+        self._match_only = _match_only
+
+        def _fine_both_stack(variables, up, k1, k2, ij1, ij2, c12, c21, ou1, ou2):
+            """Stacked-image form of the fine pass: identical math to
+            ``_fine_both``/``_fine_both_crop`` but each match reads its own
+            images from an (S, H, W, 3) stack via per-match indices."""
+            g = int(2.0 * GRID_OFFSET_PX)
+            src12 = 2.0 * ij1 + ou1[:, None]
+            tgt12 = 2.0 * (ij2 + c12 * DISPLACEMENT_UNIT_PX) + ou2[:, None]
+            src21 = 2.0 * ij2 + ou2[:, None]
+            tgt21 = 2.0 * (ij1 + c21 * DISPLACEMENT_UNIT_PX) + ou1[:, None]
+            n = ij1.shape[0]
+
+            if fine_mode == "grid":
+                srcs = jnp.concatenate(
+                    [
+                        extract_patch_grid_separable(up, src12, g, PATCH_SIZE, img_idx=k1),
+                        extract_patch_grid_separable(up, src21, g, PATCH_SIZE, img_idx=k2),
+                    ],
+                    axis=0,
+                )
+                tgts = jnp.concatenate(
+                    [
+                        extract_patch_grid_separable(up, tgt12, g, PATCH_SIZE, img_idx=k2),
+                        extract_patch_grid_separable(up, tgt21, g, PATCH_SIZE, img_idx=k1),
+                    ],
+                    axis=0,
+                )
+
+                def step(_, k):
+                    ps = panet.normalize_patches(srcs[:, k])
+                    pt = panet.normalize_patches(tgts[:, k])
+                    return None, _cnn_asym(self.model, variables, ps, pt)
+
+                _, disp = jax.lax.scan(step, None, jnp.arange(9))
+            else:
+                crop = PATCH_SIZE + 2 * g  # 65
+                crops = jnp.concatenate(
+                    [
+                        extract_crops_unit(up, src12, crop, img_idx=k1),
+                        extract_crops_unit(up, src21, crop, img_idx=k2),
+                        extract_crops_unit(up, tgt12, crop, img_idx=k2),
+                        extract_crops_unit(up, tgt21, crop, img_idx=k1),
+                    ],
+                    axis=0,
+                )
+                fmaps = self.model.apply(
+                    variables,
+                    panet.normalize_patches(crops),
+                    method=lambda m, x: m.features(x),
+                )
+                fsrc, ftgt = fmaps[: 2 * n], fmaps[2 * n :]
+                fdim = panet.FMAP
+                step_px = g // 2
+
+                def step(_, k):
+                    a = (k // 3) * step_px
+                    b = (k % 3) * step_px
+                    fs = jax.lax.dynamic_slice(
+                        fsrc, (0, a, b, 0), (2 * n, fdim, fdim, fsrc.shape[3])
+                    )
+                    ft = jax.lax.dynamic_slice(
+                        ftgt, (0, a, b, 0), (2 * n, fdim, fdim, ftgt.shape[3])
+                    )
+                    d = self.model.apply(
+                        variables, fs, ft, method=panet.PANet.flow_from_features
+                    )
+                    return None, d
+
+                _, disp = jax.lax.scan(step, None, jnp.arange(9))
+                disp = disp * ((PATCH_SIZE - 1.0) / PATCH_SIZE)
+
+            fine12 = jnp.transpose(disp[:, :n], (1, 0, 2)).reshape(-1, 3, 3, 2)
+            fine21 = jnp.transpose(disp[:, n:], (1, 0, 2)).reshape(-1, 3, 3, 2)
+            return fine12, fine21
+
+        @jax.jit
+        def _refine_batch(variables, base, up, k1, k2, ij1, ij2, ob1, ob2, ou1, ou2):
+            """Cross-pair batched coarse-to-fine refinement over image
+            stacks: one program refines a fixed-size batch of matches drawn
+            from MANY pairs, so per-pair match counts never pad the CNN.
+            Returns (B, 36) packed [grid12 (18), grid21 (18)]."""
+            p1 = panet.normalize_patches(
+                extract_patches_separable(base, ij1 + ob1[:, None], PATCH_SIZE, img_idx=k1)
+            )
+            p2 = panet.normalize_patches(
+                extract_patches_separable(base, ij2 + ob2[:, None], PATCH_SIZE, img_idx=k2)
+            )
+            c12, c21 = _cnn_sym(self.model, variables, p1, p2)
+            fine12, fine21 = _fine_both_stack(
+                variables, up, k1, k2, ij1, ij2, c12, c21, ou1, ou2
+            )
+            grid12 = c12[:, None, None] + 0.5 * fine12
+            grid21 = c21[:, None, None] + 0.5 * fine21
+            return jnp.concatenate(
+                [grid12.reshape(-1, 18), grid21.reshape(-1, 18)], axis=1
+            )
+
+        self._refine_batch = _refine_batch
+
     # ------------------------------------------------------------------
     # Fused per-pair pipeline (matching + refinement, one dispatch).
     # ------------------------------------------------------------------
