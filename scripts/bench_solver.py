@@ -71,7 +71,10 @@ def main():
                         jnp.asarray(batch.node_valid),
                     )
                 )
-            jax.block_until_ready(outs)
+            # block_until_ready does not reliably block on the axon TPU
+            # tunnel; np.asarray is the only trustworthy sync.
+            for o in outs:
+                np.asarray(o)
 
         t4 = time.perf_counter()
         solve_all()
