@@ -9,3 +9,10 @@ resident on device, instead of six OS processes glued by files.
 """
 
 __version__ = "0.1.0"
+
+# Large-array host work is page-fault-bound on this platform unless freed
+# blocks stay on the heap; harmless elsewhere (see utils/platform.py).
+from .utils.platform import retain_host_heap as _retain_host_heap
+
+_retain_host_heap()
+del _retain_host_heap

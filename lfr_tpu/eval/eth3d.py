@@ -151,6 +151,25 @@ def evaluate_ply(
     Triangulated scans are surface-sampled; vertex-only clouds fall back
     to point-to-vertex distances (flagged via ``evaluation_mode``)."""
     rec = read_ply_xyz(reconstruction_ply)
+    scan, mode = _load_scan_cached(ground_truth, surface_spacing)
+    return evaluate_point_cloud(rec, scan, tolerances, mode=mode)
+
+
+#: One-entry cache of the sampled scan keyed by (path, mtime, spacing):
+#: every benchmark evaluates ref and raw against the same ground truth,
+#: and surface sampling is the expensive half of an evaluation.
+_scan_cache: Dict[tuple, tuple] = {}
+
+
+def _load_scan_cached(ground_truth: str, surface_spacing: float):
+    key = (
+        os.path.abspath(ground_truth),
+        os.path.getmtime(ground_truth),
+        surface_spacing,
+    )
+    hit = _scan_cache.get(key)
+    if hit is not None:
+        return hit
     if ground_truth.endswith(".mlp"):
         scan, mode = load_mlp_scan(ground_truth, surface_spacing)
     else:
@@ -159,7 +178,9 @@ def evaluate_ply(
             scan, mode = sample_mesh_surface(xyz, faces, surface_spacing), "surface"
         else:
             scan, mode = xyz, "vertex"
-    return evaluate_point_cloud(rec, scan, tolerances, mode=mode)
+    _scan_cache.clear()
+    _scan_cache[key] = (scan, mode)
+    return scan, mode
 
 
 def format_results(results: Dict[str, List[float]]) -> str:

@@ -12,6 +12,32 @@ from __future__ import annotations
 import os
 
 
+def retain_host_heap() -> None:
+    """Keep large freed allocations on the process heap (glibc mallopt).
+
+    On this sandbox's memory backend, first-touch page faults dominate
+    large-array work: writing a fresh 32 MB numpy array costs ~0.6 s while
+    a pre-touched buffer takes ~8 ms (measured).  glibc hands every
+    >=128 KB allocation to mmap and munmaps it on free, so each pipeline
+    iteration re-faults its working set.  Raising M_MMAP_THRESHOLD and
+    M_TRIM_THRESHOLD keeps those blocks on the (already-faulted) heap:
+    steady-state host stages measured 40-60x faster.  The trade-off is
+    that the heap holds its peak size for the process lifetime, which a
+    batch pipeline on a 125 GB host can afford.  No-op off glibc.
+    """
+    if os.environ.get("LFR_NO_HEAP_RETAIN"):
+        return
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 31)
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 31)
+    except Exception:
+        pass
+
+
 def enable_compilation_cache() -> None:
     """Persistent XLA compile cache — first-compile latency through the
     remote TPU compiler is minutes, so every entry point amortizes it."""
@@ -30,6 +56,7 @@ def enable_compilation_cache() -> None:
 def select_platform(platform: str = None) -> None:
     import jax
 
+    retain_host_heap()
     enable_compilation_cache()
     platform = platform or os.environ.get("LFR_PLATFORM")
     if not platform:
