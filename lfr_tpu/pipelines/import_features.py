@@ -94,34 +94,33 @@ def import_features(
         put_pairs.append((id1, id2, m))
     db.commit()
 
-    # Geometric verification (replaces `colmap matches_importer`).  A few
-    # pairs stay in flight so device RANSAC overlaps host DB writes and
-    # the per-transfer link latency.
-    import collections
-
+    # Geometric verification (replaces `colmap matches_importer`).  Pairs
+    # are verified in bucket-grouped device batches: one vmapped RANSAC
+    # program and ONE host transfer per ~dozens of pairs (per-pair
+    # transfers at the link's ~50-90 ms latency dominated DB import).
     n_done = 0
-    queue = collections.deque()  # (id1, id2, matches, handle)
+    batcher = verify.BatchedVerifier(seed=verify_seed, min_num_inliers=min_num_inliers)
 
-    def _finish() -> None:
+    def _write(results) -> None:
         nonlocal n_done
-        id1, id2, m, handle = queue.popleft()
-        tvg = verify.collect_verify(handle, m, min_num_inliers=min_num_inliers)
-        db.set_two_view_geometry(id1, id2, tvg.inlier_matches, tvg.config, F=tvg.F, H=tvg.H)
-        n_done += 1
-        if verbose and n_done % 50 == 0:
-            import sys
+        for (id1, id2), tvg in results:
+            db.set_two_view_geometry(
+                id1, id2, tvg.inlier_matches, tvg.config, F=tvg.F, H=tvg.H
+            )
+            n_done += 1
+            if verbose and n_done % 200 == 0:
+                import sys
 
-            print(f"[verify] {n_done}/{len(put_pairs)} pairs", file=sys.stderr, flush=True)
+                print(
+                    f"[verify] {n_done}/{len(put_pairs)} pairs",
+                    file=sys.stderr,
+                    flush=True,
+                )
 
     for id1, id2, m in put_pairs:
-        m64 = m.astype(np.int64)
-        queue.append(
-            (id1, id2, m64, verify.dispatch_verify(all_keypoints[id1], all_keypoints[id2], m64, seed=verify_seed))
-        )
-        if len(queue) >= 3:
-            _finish()
-    while queue:
-        _finish()
+        batcher.add((id1, id2), all_keypoints[id1], all_keypoints[id2], m.astype(np.int64))
+        _write(batcher.ready())
+    _write(batcher.flush())
     db.commit()
 
     stats = db.matching_stats()

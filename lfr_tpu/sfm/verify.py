@@ -134,6 +134,145 @@ def _verify_program(x1, x2, valid, key):
     )
 
 
+@jax.jit
+def _verify_program_batch(x1, x2, valid, keys):
+    """vmapped :func:`_verify_program` over a batch of pairs.
+
+    x1, x2: (B, N, 2); valid: (B, N); keys: (B, 2) PRNG keys.
+    Returns (B, 20 + 2N) packed rows — one host transfer serves the whole
+    batch (the per-transfer link latency, ~50-90 ms here, made per-pair
+    collection the dominant cost of DB import at 435 pairs/scene).
+    """
+
+    def one(x1i, x2i, vi, ki):
+        kF, kH = jax.random.split(ki)
+        F, inl_F, n_F = _ransac_fundamental(x1i, x2i, vi, kF)
+        H, inl_H, n_H = _ransac_homography(x1i, x2i, vi, kH)
+        return jnp.concatenate(
+            [
+                jnp.stack([n_F, n_H]).astype(jnp.float32),
+                F.ravel().astype(jnp.float32),
+                H.ravel().astype(jnp.float32),
+                inl_F.astype(jnp.float32),
+                inl_H.astype(jnp.float32),
+            ]
+        )
+
+    return jax.vmap(one)(x1, x2, valid, keys)
+
+
+def _batch_rows_for(n_padded: int) -> int:
+    """Pairs per batched verify program: one fixed batch shape per match
+    bucket keeps the program count identical to the per-pair path."""
+    return max(8, 65536 // max(n_padded, 1))
+
+
+class BatchedVerifier:
+    """Accumulate pairs and verify them in bucket-grouped device batches.
+
+    ``add()`` queues a pair (pairs with <8 matches resolve immediately as
+    degenerate); results surface from ``ready()``/``flush()`` as
+    (token, TwoViewGeometry), unordered across buckets.  At most one batch
+    per bucket stays in flight so device RANSAC overlaps host DB writes.
+    """
+
+    def __init__(self, seed: int = 0, min_num_inliers: int = MIN_NUM_INLIERS):
+        self._key = jax.random.PRNGKey(seed)
+        self._n_added = 0
+        self._min_inliers = min_num_inliers
+        #: bucket n -> list of (token, matches, x1p, x2p, valid)
+        self._acc = {}
+        #: in-flight: list of (handle, [(token, matches), ...])
+        self._inflight = []
+        self._done = []
+
+    def add(self, token, keypoints1, keypoints2, matches) -> None:
+        i = self._n_added
+        self._n_added += 1
+        if matches.shape[0] < 8:
+            self._done.append(
+                (
+                    token,
+                    TwoViewGeometry(
+                        np.zeros((0, 2), np.uint32), CONFIG_DEGENERATE, np.eye(3)
+                    ),
+                )
+            )
+            return
+        x1 = keypoints1[matches[:, 0], :2].astype(np.float32)
+        x2 = keypoints2[matches[:, 1], :2].astype(np.float32)
+        x1p, valid = _pad_points(x1, MATCH_BUCKET)
+        x2p, _ = _pad_points(x2, MATCH_BUCKET)
+        n = x1p.shape[0]
+        group = self._acc.setdefault(n, [])
+        group.append((token, matches, x1p, x2p, valid, i))
+        if len(group) >= _batch_rows_for(n):
+            self._dispatch(n)
+
+    def _dispatch(self, n: int) -> None:
+        group = self._acc.pop(n, [])
+        if not group:
+            return
+        rows = _batch_rows_for(n)
+        pad = rows - len(group)
+        x1 = np.stack([g[2] for g in group] + [np.zeros((n, 2), np.float32)] * pad)
+        x2 = np.stack([g[3] for g in group] + [np.zeros((n, 2), np.float32)] * pad)
+        valid = np.stack([g[4] for g in group] + [np.zeros(n, bool)] * pad)
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            self._key,
+            jnp.asarray([g[5] for g in group] + [0] * pad, jnp.uint32),
+        )
+        handle = _verify_program_batch(
+            jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(valid), keys
+        )
+        self._inflight.append((handle, [(g[0], g[1]) for g in group]))
+        while len(self._inflight) > 1:
+            self._collect_one()
+
+    def _collect_one(self) -> None:
+        handle, metas = self._inflight.pop(0)
+        packed = np.asarray(handle)  # ONE transfer for the whole batch
+        for row, (token, matches) in zip(packed, metas):
+            self._done.append(
+                (token, _classify_packed(row, matches, self._min_inliers))
+            )
+
+    def ready(self):
+        out, self._done = self._done, []
+        return out
+
+    def flush(self):
+        for n in list(self._acc):
+            self._dispatch(n)
+        while self._inflight:
+            self._collect_one()
+        return self.ready()
+
+
+def _classify_packed(
+    packed: np.ndarray, matches: np.ndarray, min_num_inliers: int
+) -> TwoViewGeometry:
+    """Classify one packed verify row (shared by the per-pair and batched
+    paths; COLMAP-style planarity test)."""
+    n_F = int(packed[0])
+    n_H = int(packed[1])
+    F = packed[2:11].reshape(3, 3).astype(np.float64)
+    H = packed[11:20].reshape(3, 3).astype(np.float64)
+    n = (packed.shape[0] - 20) // 2
+    inl_F = packed[20 : 20 + n] > 0
+    inl_H = packed[20 + n :] > 0
+
+    if n_F < min_num_inliers:
+        return TwoViewGeometry(np.zeros((0, 2), np.uint32), CONFIG_DEGENERATE, F)
+    if n_H >= 0.8 * n_F:
+        mask = inl_H[: matches.shape[0]]
+        config = CONFIG_PLANAR_OR_PANORAMIC
+    else:
+        mask = inl_F[: matches.shape[0]]
+        config = CONFIG_UNCALIBRATED
+    return TwoViewGeometry(matches[mask].astype(np.uint32), config, F, H)
+
+
 def dispatch_verify(
     keypoints1: np.ndarray,
     keypoints2: np.ndarray,
@@ -167,26 +306,7 @@ def collect_verify(
     if handle is None:
         return TwoViewGeometry(np.zeros((0, 2), np.uint32), CONFIG_DEGENERATE, np.eye(3))
     packed = np.asarray(handle)  # one transfer per pair
-    n_F = int(packed[0])
-    n_H = int(packed[1])
-    F = packed[2:11].reshape(3, 3).astype(np.float64)
-    H = packed[11:20].reshape(3, 3).astype(np.float64)
-    n = (packed.shape[0] - 20) // 2
-    inl_F = packed[20 : 20 + n] > 0
-    inl_H = packed[20 + n :] > 0
-
-    if n_F < min_num_inliers:
-        return TwoViewGeometry(np.zeros((0, 2), np.uint32), CONFIG_DEGENERATE, F)
-
-    # COLMAP planarity test: H inliers / F inliers >= 0.8 -> planar/panoramic.
-    if n_H >= 0.8 * n_F:
-        mask = inl_H[: matches.shape[0]]
-        config = CONFIG_PLANAR_OR_PANORAMIC
-    else:
-        mask = inl_F[: matches.shape[0]]
-        config = CONFIG_UNCALIBRATED
-
-    return TwoViewGeometry(matches[mask].astype(np.uint32), config, F, H)
+    return _classify_packed(packed, matches, min_num_inliers)
 
 
 def verify_pair(
