@@ -459,6 +459,35 @@ class TwoViewRefiner:
 
         self._match_only = _match_only
 
+        @functools.partial(jax.jit, static_argnames=("matcher",))
+        def _match_stack(dstack, s1, s2, n1, n2, thr, matcher: str):
+            """Batched matching against a device descriptor stack: P pairs
+            of stack slots match in one program and return one packed
+            (P, B, 3) array — one host transfer per P pairs instead of one
+            per pair (the ~50-90 ms per-transfer link latency dominated the
+            match stage once the CNN was batched; see pipelines.stream)."""
+            from ..ops import matchers as matchers_mod
+
+            def one(i1, i2, m1, m2, t):
+                d1 = dstack[i1]
+                d2 = dstack[i2]
+                if matcher == "similarity":
+                    nn12, msim, keep = matchers_mod._mnn_similarity_padded(
+                        d1, d2, m1, m2, t
+                    )
+                else:
+                    nn12, msim, keep = matchers_mod._mnn_ratio_padded(
+                        d1, d2, m1, m2, t
+                    )
+                return jnp.stack(
+                    [nn12.astype(jnp.float32), msim, keep.astype(jnp.float32)],
+                    axis=1,
+                )
+
+            return jax.vmap(one)(s1, s2, n1, n2, thr)
+
+        self._match_stack = _match_stack
+
         def _fine_both_stack(variables, up, k1, k2, ij1, ij2, c12, c21, ou1, ou2):
             """Stacked-image form of the fine pass: identical math to
             ``_fine_both``/``_fine_both_crop`` but each match reads its own

@@ -32,8 +32,8 @@ from ..ops.matchers import _pad_descriptors
 #: Matches per refinement batch (the MXU sweet spot measured by bench.py).
 REFINE_BATCH = 2048
 
-#: In-flight pair matcher dispatches before the oldest is synced.
-MATCH_DEPTH = 8
+#: In-flight batched matcher dispatches before the oldest is synced.
+MATCH_DEPTH = 2
 
 #: In-flight refinement batches before the oldest is synced.
 REFINE_DEPTH = 2
@@ -41,11 +41,25 @@ REFINE_DEPTH = 2
 #: Device bytes for the two image stacks together.
 STACK_BUDGET_BYTES = int(4e9)
 
+#: Device bytes for the descriptor stack.
+DESC_BUDGET_BYTES = int(512e6)
+
+#: Pairs per batched matcher dispatch at descriptor bucket B (bounded by
+#: the (P, B, B) similarity volume; 16 pairs at B=2048 is 256 MB).
+def _match_pairs_for(bucket: int) -> int:
+    return int(max(2, min(16, (1 << 31) // max(bucket * bucket * 4, 1))))
+
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _write_slot(stack, arr, slot):
     """In-place (donated) write of one image into its stack slot."""
     return jax.lax.dynamic_update_slice(stack, arr[None], (slot, 0, 0, 0))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_slot3(stack, arr, slot):
+    """In-place (donated) write of one descriptor block into its slot."""
+    return jax.lax.dynamic_update_slice(stack, arr[None], (slot, 0, 0))
 
 
 class _PairRec:
@@ -101,10 +115,21 @@ class MatchRefineStream:
         self._acc_segments: List[Tuple[_PairRec, int, int]] = []
 
         self._pairs: "collections.deque[_PairRec]" = collections.deque()
-        #: Pairs dispatched to the matcher, awaiting sync.
+        #: Pairs awaiting a batched matcher dispatch.
+        self._pend_match: List[tuple] = []
+        #: In-flight matcher batches: (handle, [per-pair meta, ...]).
         self._match_q: "collections.deque[tuple]" = collections.deque()
         #: In-flight refinement batches: (handle, segments, n_valid).
         self._refine_q: "collections.deque[tuple]" = collections.deque()
+
+        # Device descriptor stack (matching analog of the image stacks):
+        # each image's padded descriptors upload once and P pairs match by
+        # slot index in one program.
+        self._dstack = None  # (S, B, D)
+        self._dslots: "collections.OrderedDict[str, int]" = collections.OrderedDict()
+        self._dhost: Dict[str, tuple] = {}  # name -> (padded np, n_valid)
+        self._dfree: List[int] = []
+        self._dn: Optional[np.ndarray] = None  # (S,) valid counts
 
     # ------------------------------------------------------------------
     # Image stack
@@ -180,6 +205,69 @@ class MatchRefineStream:
         return slot
 
     # ------------------------------------------------------------------
+    # Descriptor stack
+    # ------------------------------------------------------------------
+
+    def _alloc_dstack(self, rows: int, dim: int) -> None:
+        bytes_per = rows * dim * 4
+        s = max(4, min(1024, DESC_BUDGET_BYTES // max(bytes_per, 1)))
+        self._dstack = jnp.zeros((s, rows, dim), jnp.float32)
+        self._dslots.clear()
+        self._dfree = list(range(s))
+        self._dn = np.zeros(s, np.int32)
+
+    def _ensure_desc_slot(self, name: str, desc: np.ndarray) -> int:
+        if name in self._dslots:
+            self._dslots.move_to_end(name)
+            return self._dslots[name]
+
+        padded, n = _pad_descriptors(np.asarray(desc, np.float32))
+        if self._dstack is None:
+            self._alloc_dstack(padded.shape[0], padded.shape[1])
+        elif (
+            padded.shape[0] > self._dstack.shape[1]
+            or padded.shape[1] > self._dstack.shape[2]
+        ):
+            # A larger descriptor block arrived: finish in-flight matcher
+            # work, grow the stack, and re-upload the live slots.
+            self._dispatch_match()
+            while self._match_q:
+                self._sync_one_match()
+            live = list(self._dslots.keys())
+            self._alloc_dstack(
+                max(padded.shape[0], self._dstack.shape[1]),
+                max(padded.shape[1], self._dstack.shape[2]),
+            )
+            for other in live:
+                if other in self._dhost:
+                    self._upload_desc(other, *self._dhost[other])
+        if not self._dfree:
+            # Evict the least-recently-used descriptors.  Pending pairs
+            # hold slot indices, so their batch must dispatch+sync first.
+            self._dispatch_match()
+            while self._match_q:
+                self._sync_one_match()
+            old, slot = self._dslots.popitem(last=False)
+            self._dhost.pop(old, None)
+            self._dfree.append(slot)
+        return self._upload_desc(name, padded, n)
+
+    def _upload_desc(self, name: str, padded: np.ndarray, n: int) -> int:
+        slot = self._dfree.pop()
+        sh = self._dstack.shape
+        if padded.shape != sh[1:]:
+            block = np.zeros(sh[1:], np.float32)
+            block[: padded.shape[0], : padded.shape[1]] = padded
+            padded = block
+        self._dstack = _write_slot3(
+            self._dstack, jnp.asarray(padded), jnp.int32(slot)
+        )
+        self._dn[slot] = n
+        self._dslots[name] = slot
+        self._dhost[name] = (padded, n)
+        return slot
+
+    # ------------------------------------------------------------------
     # Pair intake
     # ------------------------------------------------------------------
 
@@ -196,16 +284,16 @@ class MatchRefineStream:
         slot1 = self._ensure_slot(name1, prep1)
         slot2 = self._ensure_slot(name2, prep2)
 
-        d1, n1 = _pad_descriptors(np.asarray(desc1, np.float32))
-        d2, n2 = _pad_descriptors(np.asarray(desc2, np.float32))
-        handle = self.refiner._match_only(
-            jnp.asarray(d1), jnp.asarray(d2),
-            jnp.int32(n1), jnp.int32(n2), jnp.float32(threshold),
-            matcher="similarity" if matcher == "similarity" else "ratio",
+        kind = "similarity" if matcher == "similarity" else "ratio"
+        if self._pend_match and self._pend_match[0][1] != kind:
+            self._dispatch_match()  # matcher kind is static per program
+        d1 = self._ensure_desc_slot(name1, desc1)
+        d2 = self._ensure_desc_slot(name2, desc2)
+        self._pend_match.append(
+            (rec, kind, d1, d2, float(threshold), kps1, kps2, slot1, slot2)
         )
-        self._match_q.append((rec, handle, n1, kps1, kps2, slot1, slot2))
-        while len(self._match_q) > MATCH_DEPTH:
-            self._sync_one_match()
+        if len(self._pend_match) >= _match_pairs_for(self._dstack.shape[1]):
+            self._dispatch_match()
 
     def add_empty_pair(self, meta) -> None:
         """Queue a pair with no features/matches (keeps emission order)."""
@@ -218,9 +306,38 @@ class MatchRefineStream:
         rec.matched = True
         self._pairs.append(rec)
 
+    def _dispatch_match(self) -> None:
+        group, self._pend_match = self._pend_match, []
+        if not group:
+            return
+        rows = _match_pairs_for(self._dstack.shape[1])
+        pad = rows - len(group)
+        s1 = np.array([g[2] for g in group] + [0] * pad, np.int32)
+        s2 = np.array([g[3] for g in group] + [0] * pad, np.int32)
+        n1 = self._dn[s1].copy()
+        n2 = self._dn[s2].copy()
+        if pad:
+            n1[len(group):] = 0
+            n2[len(group):] = 0
+        thr = np.array([g[4] for g in group] + [0.0] * pad, np.float32)
+        handle = self.refiner._match_stack(
+            self._dstack,
+            jnp.asarray(s1), jnp.asarray(s2),
+            jnp.asarray(n1), jnp.asarray(n2), jnp.asarray(thr),
+            matcher=group[0][1],
+        )
+        metas = [(g[0], int(n1[i]), g[5], g[6], g[7], g[8]) for i, g in enumerate(group)]
+        self._match_q.append((handle, metas))
+        while len(self._match_q) > MATCH_DEPTH:
+            self._sync_one_match()
+
     def _sync_one_match(self) -> None:
-        rec, handle, n1, kps1, kps2, slot1, slot2 = self._match_q.popleft()
-        packed = np.asarray(handle)  # (B1, 3) [nn12, sim, keep]
+        handle, metas = self._match_q.popleft()
+        packed_all = np.asarray(handle)  # (P, B, 3): one transfer per batch
+        for row, meta in zip(packed_all, metas):
+            self._ingest_match(row, *meta)
+
+    def _ingest_match(self, packed, rec, n1, kps1, kps2, slot1, slot2) -> None:
         keep = packed[:n1, 2] > 0
         idx1 = np.nonzero(keep)[0]
         idx2 = packed[idx1, 0].astype(np.int64)
@@ -316,6 +433,7 @@ class MatchRefineStream:
             row += n
 
     def _drain_all_device_work(self) -> None:
+        self._dispatch_match()
         while self._match_q:
             self._sync_one_match()
         while self._acc_rows:
