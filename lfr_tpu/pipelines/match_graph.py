@@ -10,6 +10,7 @@ reference-compatible MatchingFile (chunked every 5000 pairs).
 from __future__ import annotations
 
 import argparse
+import collections
 import os
 import sys
 import time
@@ -65,16 +66,35 @@ def compute_match_graph(
         feats = features_io.load_features(os.path.join(image_path, name), method.name)
         return image, fact, feats
 
+    # Host-side decode cache: exhaustive match lists revisit every image
+    # ~n_images times, and decode+resize per PAIR was ~40% of the warm
+    # match stage.  Byte-budgeted LRU (a 1600 px image is ~8 MB).
+    LOAD_CACHE_BYTES = int(2e9)
+    loaded = collections.OrderedDict()  # name -> (image, fact, feats)
+    load_bytes = [0]
+
+    def _remember(name, item):
+        loaded[name] = item
+        load_bytes[0] += item[0].nbytes
+        while load_bytes[0] > LOAD_CACHE_BYTES and len(loaded) > 2:
+            _, old = loaded.popitem(last=False)
+            load_bytes[0] -= old[0].nbytes
+
     # Image decode + feature IO overlaps device compute: the next pair's
     # second image prefetches while the current pair refines.
     pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
     prefetched = {}
 
     def _get(name):
+        hit = loaded.get(name)
+        if hit is not None:
+            loaded.move_to_end(name)
+            prefetched.pop(name, None)
+            return hit
         fut = prefetched.pop(name, None)
-        if fut is not None:
-            return fut.result()
-        return _load(name)
+        item = fut.result() if fut is not None else _load(name)
+        _remember(name, item)
+        return item
 
     def _flush(final: bool) -> None:
         nonlocal part_idx, out_pairs
@@ -90,8 +110,6 @@ def compute_match_graph(
 
     # Fused per-pair dispatch pipelines matching + refinement across pairs;
     # results resolve a few pairs behind the dispatch front.
-    import collections
-
     fused = (
         not skip_refinement
         and refiner is not None
@@ -165,7 +183,7 @@ def compute_match_graph(
         image2, fact2, feats2 = _get(name2)
         if pair_idx + 1 < len(pairs):
             nxt = pairs[pair_idx + 1][1]
-            if nxt not in prefetched:
+            if nxt not in prefetched and nxt not in loaded:
                 prefetched[nxt] = pool.submit(_load, nxt)
 
         meta = (name1, fact1, name2, fact2)

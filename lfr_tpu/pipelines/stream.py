@@ -45,9 +45,9 @@ STACK_BUDGET_BYTES = int(4e9)
 DESC_BUDGET_BYTES = int(512e6)
 
 #: Pairs per batched matcher dispatch at descriptor bucket B (bounded by
-#: the (P, B, B) similarity volume; 16 pairs at B=2048 is 256 MB).
+#: the (P, B, B) similarity volume; 32 pairs at B=2048 is 512 MB).
 def _match_pairs_for(bucket: int) -> int:
-    return int(max(2, min(16, (1 << 31) // max(bucket * bucket * 4, 1))))
+    return int(max(2, min(32, (1 << 31) // max(bucket * bucket * 4, 1))))
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
