@@ -52,6 +52,20 @@ def _mnn_similarity_padded(d1, d2, n1, n2, threshold):
     return nn12, match_sim, keep
 
 
+def _top2(sim, axis):
+    """(best, second-best, argbest) along ``axis`` as three masked max
+    passes — measured faster than ``lax.top_k(sim, 2)`` on TPU (top_k
+    lowers to a sort network, and the axis-0 form avoids materializing a
+    transposed copy of the similarity matrix)."""
+    a1 = jnp.argmax(sim, axis=axis)
+    m1 = jnp.max(sim, axis=axis)
+    pos = jnp.arange(sim.shape[axis])
+    pos = pos[:, None] if axis == 0 else pos[None, :]
+    hit = pos == jnp.expand_dims(a1, axis)
+    m2 = jnp.max(jnp.where(hit, _PAD_SIM, sim), axis=axis)
+    return m1, m2, a1
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _mnn_ratio_padded(d1, d2, n1, n2, ratio):
     sim = d1 @ d2.T
@@ -59,16 +73,14 @@ def _mnn_ratio_padded(d1, d2, n1, n2, ratio):
     valid2 = jnp.arange(sim.shape[1]) < n2
     sim = jnp.where(valid1[:, None] & valid2[None, :], sim, _PAD_SIM)
 
-    nns_sim12, nns12 = jax.lax.top_k(sim, 2)
-    dist12 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * nns_sim12, 0.0))
+    sim12_1, sim12_2, nn12 = _top2(sim, axis=1)
+    dist12 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * jnp.stack([sim12_1, sim12_2], 1), 0.0))
     ratios12 = dist12[:, 0] / (dist12[:, 1] + 1e-8)
-    nn12 = nns12[:, 0]
-    match_sim = nns_sim12[:, 0]
+    match_sim = sim12_1
 
-    nns_sim21, nns21 = jax.lax.top_k(sim.T, 2)
-    dist21 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * nns_sim21, 0.0))
+    sim21_1, sim21_2, nn21 = _top2(sim, axis=0)
+    dist21 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * jnp.stack([sim21_1, sim21_2], 1), 0.0))
     ratios21 = dist21[:, 0] / (dist21[:, 1] + 1e-8)
-    nn21 = nns21[:, 0]
 
     ids1 = jnp.arange(sim.shape[0])
     mutual = ids1 == nn21[nn12]
