@@ -281,14 +281,24 @@ class MatchRefineStream:
         rec = _PairRec(meta)
         self._pairs.append(rec)
 
-        slot1 = self._ensure_slot(name1, prep1)
-        slot2 = self._ensure_slot(name2, prep2)
+        # Ensure BOTH slots, then re-resolve: ensuring the second image can
+        # grow or LRU-evict the stack, invalidating the first slot index.
+        self._ensure_slot(name1, prep1)
+        self._ensure_slot(name2, prep2)
+        if name1 not in self._slots:
+            self._ensure_slot(name1, prep1)  # re-upload; LRU spares name2
+        slot1 = self._slots[name1]
+        slot2 = self._slots[name2]
 
         kind = "similarity" if matcher == "similarity" else "ratio"
         if self._pend_match and self._pend_match[0][1] != kind:
             self._dispatch_match()  # matcher kind is static per program
-        d1 = self._ensure_desc_slot(name1, desc1)
-        d2 = self._ensure_desc_slot(name2, desc2)
+        self._ensure_desc_slot(name1, desc1)
+        self._ensure_desc_slot(name2, desc2)
+        if name1 not in self._dslots:
+            self._ensure_desc_slot(name1, desc1)
+        d1 = self._dslots[name1]
+        d2 = self._dslots[name2]
         self._pend_match.append(
             (rec, kind, d1, d2, float(threshold), kps1, kps2, slot1, slot2)
         )

@@ -120,3 +120,51 @@ def test_stacked_extractors_match_single():
         for n in range(10):
             single = np.asarray(fn(imgs[int(idx[n])], ij[n : n + 1], **kw))
             np.testing.assert_allclose(stacked[n], single[0], atol=1e-5)
+
+
+def test_stream_eviction_and_growth_keep_results_correct(monkeypatch):
+    """Slot eviction / stack growth mid-stream must not corrupt results.
+
+    Regression: add_pair captured image/descriptor slot indices before
+    ensuring the SECOND image of a pair; an LRU eviction or stack grow
+    triggered by that second ensure invalidated the first index.
+    Tiny budgets force evictions and reallocation on every few pairs.
+    """
+    from lfr_tpu.pipelines import stream as stream_mod
+
+    preps, feats, pair_ids = _make_pairs(num_images=5)
+    refiner = TwoViewRefiner(batch_size=512, fine_mode="crop", rng_seed=0)
+
+    per_pair = []
+    for i, j in pair_ids:
+        pending = refiner.process_pair(
+            preps[i], feats[i][0], feats[i][1],
+            preps[j], feats[j][0], feats[j][1],
+            "ratio", 0.9,
+        )
+        per_pair.append(refiner.finalize_pair(pending))
+
+    # Budgets sized for ~4 image slots / 4 descriptor slots: every pair
+    # of the 5-image exhaustive list evicts something.
+    one_img = preps[0].base.array.nbytes + preps[0].up.array.nbytes
+    monkeypatch.setattr(stream_mod, "DESC_BUDGET_BYTES", 4 * 512 * 136 * 4)
+    stream = MatchRefineStream(
+        refiner, refine_batch=64, stack_budget_bytes=4 * one_img
+    )
+    for idx, (i, j) in enumerate(pair_ids):
+        stream.add_pair(
+            idx,
+            f"im{i}", preps[i], feats[i][0], feats[i][1],
+            f"im{j}", preps[j], feats[j][0], feats[j][1],
+            "ratio", 0.9,
+        )
+    streamed = {meta: payload for meta, payload in stream.flush()}
+    assert len(streamed) == len(pair_ids)
+    for idx in range(len(pair_ids)):
+        m_ref, s_ref, g12_ref, g21_ref = per_pair[idx]
+        m_st, s_st, g12_st, g21_st = streamed[idx]
+        o_ref = np.argsort(m_ref[:, 0])
+        o_st = np.argsort(m_st[:, 0])
+        assert np.array_equal(m_ref[o_ref], m_st[o_st])
+        np.testing.assert_allclose(g12_ref[o_ref], g12_st[o_st], atol=2e-3)
+        np.testing.assert_allclose(g21_ref[o_ref], g21_st[o_st], atol=2e-3)
