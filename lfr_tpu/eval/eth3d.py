@@ -101,6 +101,73 @@ def load_mlp_scan(mlp_path: str, surface_spacing: float = SURFACE_SPACING):
     return np.concatenate(points), ("surface" if any_faces else "vertex")
 
 
+#: Below this many query*corpus pairs a host KD-tree wins (build cost is
+#: negligible and it is exact); above it the device brute-force path is
+#: 10-50x faster than building/querying a tree over tens of millions of
+#: surface samples.
+_BRUTE_FORCE_MIN_PAIRS = int(1e8)
+
+
+def _min_dists_brute(queries: np.ndarray, corpus: np.ndarray) -> np.ndarray:
+    """Nearest-neighbor distances by chunked brute force on the device.
+
+    Distances use the direct squared-difference form (not the
+    |q|^2+|c|^2-2qc matmul identity, which loses ~sqrt(eps)*|coord|
+    absolute precision to cancellation — fatal at the 1 cm tolerance);
+    XLA fuses the broadcast-subtract-square-reduce so the (Q, C) tile
+    never hits HBM.  Padded corpus rows sit 1e6 m away so they never win
+    the min; padded query rows are sliced off.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    q = np.ascontiguousarray(queries, np.float32)
+    c = np.ascontiguousarray(corpus, np.float32)
+    nq, nc = q.shape[0], c.shape[0]
+    q_chunk = 2048
+    c_chunk = min(8192, -(-nc // 128) * 128)
+    q = np.pad(q, ((0, -nq % q_chunk), (0, 0)))
+    c = np.pad(c, ((0, -nc % c_chunk), (0, 0)), constant_values=1e6)
+    c_chunks = jnp.asarray(c.reshape(-1, c_chunk, 3))
+
+    @jax.jit
+    def all_min(q_blocks, c_blocks):
+        def per_q(qb):  # (q_chunk, 3)
+            def body(best, cb):  # cb: (c_chunk, 3)
+                d2 = jnp.sum(
+                    (qb[:, None, :] - cb[None, :, :]) ** 2, axis=-1
+                )
+                return jnp.minimum(best, d2.min(axis=1)), None
+            best, _ = lax.scan(
+                body, jnp.full((qb.shape[0],), jnp.inf, jnp.float32), c_blocks
+            )
+            return best
+        return jnp.sqrt(lax.map(per_q, q_blocks))
+
+    d = all_min(jnp.asarray(q.reshape(-1, q_chunk, 3)), c_chunks)
+    return np.asarray(d).reshape(-1)[:nq].astype(np.float64)
+
+
+def _min_dists(queries: np.ndarray, corpus: np.ndarray) -> np.ndarray:
+    """NN distances from each query to the corpus; picks host KD-tree or
+    device brute force by problem size (override: LFR_EVAL_BRUTE=0/1)."""
+    force = os.environ.get("LFR_EVAL_BRUTE")
+    if force is not None:
+        use_brute = force == "1"
+    else:
+        import jax
+
+        use_brute = (
+            queries.shape[0] * corpus.shape[0] >= _BRUTE_FORCE_MIN_PAIRS
+            and jax.default_backend() != "cpu"
+        )
+    if use_brute:
+        return _min_dists_brute(queries, corpus)
+    d, _ = cKDTree(corpus).query(queries, k=1, workers=-1)
+    return d
+
+
 def evaluate_point_cloud(
     reconstruction: np.ndarray,
     scan: np.ndarray,
@@ -118,10 +185,8 @@ def evaluate_point_cloud(
             "evaluation_mode": mode,
         }
 
-    scan_tree = cKDTree(scan)
-    rec_tree = cKDTree(reconstruction)
-    d_rec_to_scan, _ = scan_tree.query(reconstruction, k=1)
-    d_scan_to_rec, _ = rec_tree.query(scan, k=1)
+    d_rec_to_scan = _min_dists(reconstruction, scan)
+    d_scan_to_rec = _min_dists(scan, reconstruction)
 
     accuracies, completenesses, f1s = [], [], []
     for t in tolerances:

@@ -84,7 +84,8 @@ def run_eth(
         if evaluate and os.path.exists(scan_file):
             from ..eval import eth3d
 
-            ev = eth3d.evaluate_ply(ply, scan_file)
+            with spans.span(f"evaluation_{tag}"):
+                ev = eth3d.evaluate_ply(ply, scan_file)
             results[tag]["evaluation"] = ev
             out_txt = os.path.join(output_path, f"{method_name}-{dataset_name}-{tag}.txt")
             with open(out_txt, "w") as fh:

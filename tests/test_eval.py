@@ -66,6 +66,19 @@ def test_surface_sampling_density_and_support():
     assert pts[:, :2].min() >= -1e-9 and pts[:, :2].max() <= 1 + 1e-9
 
 
+def test_brute_force_nn_matches_kdtree():
+    """Device brute-force NN path is numerically exact vs the KD-tree
+    (ragged sizes exercise the chunk padding)."""
+    from scipy.spatial import cKDTree
+
+    rng = np.random.default_rng(0)
+    q = (rng.normal(size=(3001, 3)) * 5).astype(np.float32)
+    c = (rng.normal(size=(20003, 3)) * 5).astype(np.float32)
+    d_brute = eth3d._min_dists_brute(q, c)
+    d_ref, _ = cKDTree(c).query(q, k=1, workers=-1)
+    np.testing.assert_allclose(d_brute, d_ref, atol=1e-5)
+
+
 def test_accuracy_uses_surface_not_vertices(tmp_path):
     """A point at the CENTER of a big triangle is accurate w.r.t. the
     surface but far from every vertex — the regression the official
