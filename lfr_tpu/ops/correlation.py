@@ -20,6 +20,18 @@ and slicing the (B, 384, 384) output back (10.2 ms vs 16.0 ms for the
 asym direction at B=4096 on v5e — the pad and slice copies moved ~2 GB
 of HBM traffic per call).  A jnp fallback with identical semantics
 serves CPU and interpret-mode testing.
+
+Fusing the head's first 5x5 conv INTO this kernel (keeping the 289-lane
+volume VMEM-only) was measured and REJECTED — see
+results/corr_conv0_fusion.json and scripts/bench_corr_variants.py.
+Mosaic cannot shape-cast (289,289)->(17,17,289) in-kernel, so the conv
+must be expressed either as 25 sublane-unaligned strip-slice matmuls
+(c[o:o+217] @ W_k, o = dy*17+dx) or as full-row matmuls with a post-
+slice; every variant (g in 2..16, slice-before/after, one concatenated
+(289, 3200) matmul) measured 9.2-11.6 ms at B=2048 on v5e versus 8.4 ms
+for this kernel + XLA's conv0 — XLA's conv lowering beats what Mosaic's
+layout constraints allow here, and the standalone kernel's bf16 write
+is already cheaper than the relayouts fusion forces.
 """
 
 from __future__ import annotations
