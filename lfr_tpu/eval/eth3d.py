@@ -118,35 +118,56 @@ def _min_dists_brute(queries: np.ndarray, corpus: np.ndarray) -> np.ndarray:
     never hits HBM.  Padded corpus rows sit 1e6 m away so they never win
     the min; padded query rows are sliced off.
     """
-    import jax
     import jax.numpy as jnp
-    from jax import lax
 
     q = np.ascontiguousarray(queries, np.float32)
     c = np.ascontiguousarray(corpus, np.float32)
     nq, nc = q.shape[0], c.shape[0]
     q_chunk = 2048
     c_chunk = min(8192, -(-nc // 128) * 128)
-    q = np.pad(q, ((0, -nq % q_chunk), (0, 0)))
-    c = np.pad(c, ((0, -nc % c_chunk), (0, 0)), constant_values=1e6)
+    # Block COUNTS round up to powers of two: reconstruction/scan sizes
+    # vary per scene and the block count is a static program shape, so
+    # without bucketing every run recompiles all_min (~10 s through the
+    # remote compiler).  Padded query rows are sliced off below; padded
+    # corpus rows sit 1e6 m away and never win the min.
+    nqb = 1 << max(0, (-(-nq // q_chunk) - 1)).bit_length()
+    ncb = 1 << max(0, (-(-nc // c_chunk) - 1)).bit_length()
+    q = np.pad(q, ((0, nqb * q_chunk - nq), (0, 0)))
+    c = np.pad(c, ((0, ncb * c_chunk - nc), (0, 0)), constant_values=1e6)
     c_chunks = jnp.asarray(c.reshape(-1, c_chunk, 3))
 
-    @jax.jit
-    def all_min(q_blocks, c_blocks):
-        def per_q(qb):  # (q_chunk, 3)
-            def body(best, cb):  # cb: (c_chunk, 3)
-                d2 = jnp.sum(
-                    (qb[:, None, :] - cb[None, :, :]) ** 2, axis=-1
-                )
-                return jnp.minimum(best, d2.min(axis=1)), None
-            best, _ = lax.scan(
-                body, jnp.full((qb.shape[0],), jnp.inf, jnp.float32), c_blocks
-            )
-            return best
-        return jnp.sqrt(lax.map(per_q, q_blocks))
-
-    d = all_min(jnp.asarray(q.reshape(-1, q_chunk, 3)), c_chunks)
+    d = _all_min(jnp.asarray(q.reshape(-1, q_chunk, 3)), c_chunks)
     return np.asarray(d).reshape(-1)[:nq].astype(np.float64)
+
+
+def _all_min_impl(q_blocks, c_blocks):
+    import jax.numpy as jnp
+    from jax import lax
+
+    def per_q(qb):  # (q_chunk, 3)
+        def body(best, cb):  # cb: (c_chunk, 3)
+            d2 = jnp.sum((qb[:, None, :] - cb[None, :, :]) ** 2, axis=-1)
+            return jnp.minimum(best, d2.min(axis=1)), None
+
+        best, _ = lax.scan(
+            body, jnp.full((qb.shape[0],), jnp.inf, jnp.float32), c_blocks
+        )
+        return best
+
+    return jnp.sqrt(lax.map(per_q, q_blocks))
+
+
+def _all_min(q_blocks, c_blocks):
+    # Module-level jit (a per-call closure would retrace every call).
+    global _all_min_jitted
+    if _all_min_jitted is None:
+        import jax
+
+        _all_min_jitted = jax.jit(_all_min_impl)
+    return _all_min_jitted(q_blocks, c_blocks)
+
+
+_all_min_jitted = None
 
 
 def _min_dists(queries: np.ndarray, corpus: np.ndarray) -> np.ndarray:
@@ -235,6 +256,24 @@ def _load_scan_cached(ground_truth: str, surface_spacing: float):
     hit = _scan_cache.get(key)
     if hit is not None:
         return hit
+    # Disk cache beside the scan: benchmark drivers evaluate the same
+    # scene once per method x {ref,raw} across many processes, and
+    # sampling tens of millions of surface points costs seconds each time.
+    disk = (
+        f"{key[0]}.samples-{surface_spacing}.npz"
+        if surface_spacing and not os.environ.get("LFR_NO_SCAN_CACHE")
+        else None
+    )
+    if disk and os.path.exists(disk):
+        try:
+            with np.load(disk) as z:
+                if float(z["mtime"]) == key[1]:
+                    scan, mode = z["scan"], str(z["mode"])
+                    _scan_cache.clear()
+                    _scan_cache[key] = (scan, mode)
+                    return scan, mode
+        except Exception:
+            pass
     if ground_truth.endswith(".mlp"):
         scan, mode = load_mlp_scan(ground_truth, surface_spacing)
     else:
@@ -243,6 +282,14 @@ def _load_scan_cached(ground_truth: str, surface_spacing: float):
             scan, mode = sample_mesh_surface(xyz, faces, surface_spacing), "surface"
         else:
             scan, mode = xyz, "vertex"
+    if disk and mode == "surface":
+        try:
+            tmp = disk + ".tmp"
+            with open(tmp, "wb") as fh:
+                np.savez(fh, scan=scan.astype(np.float32), mode=mode, mtime=key[1])
+            os.replace(tmp, disk)
+        except Exception:
+            pass
     _scan_cache.clear()
     _scan_cache[key] = (scan, mode)
     return scan, mode

@@ -126,6 +126,8 @@ def main():
             "solve": round(spans.get("solve", 0.0) / 1e3, 2),
             "triangulation_ref": round(spans.get("triangulation_ref", 0.0) / 1e3, 2),
             "triangulation_raw": round(spans.get("triangulation_raw", 0.0) / 1e3, 2),
+            "evaluation_ref": round(spans.get("evaluation_ref", 0.0) / 1e3, 2),
+            "evaluation_raw": round(spans.get("evaluation_raw", 0.0) / 1e3, 2),
             "total_pipeline": round(t_bench, 2),
         },
         "throughput": {

@@ -79,6 +79,25 @@ def test_brute_force_nn_matches_kdtree():
     np.testing.assert_allclose(d_brute, d_ref, atol=1e-5)
 
 
+def test_scan_disk_cache_roundtrip(tmp_path):
+    """Sampled scan surfaces persist beside the scan and reload with
+    identical points; a touched scan invalidates the cache."""
+    xyz, faces = UNIT_SQUARE
+    p = os.path.join(tmp_path, "scan.ply")
+    _write_tri_ply_binary(p, xyz, faces)
+    scan1, mode1 = eth3d._load_scan_cached(p, 0.05)
+    cache_file = f"{os.path.abspath(p)}.samples-0.05.npz"
+    assert os.path.exists(cache_file) and mode1 == "surface"
+    eth3d._scan_cache.clear()
+    scan2, mode2 = eth3d._load_scan_cached(p, 0.05)
+    np.testing.assert_array_equal(scan1.astype(np.float32), scan2)
+    # Touch the scan: stale cache must be ignored and rewritten.
+    os.utime(p, (1, 1))
+    eth3d._scan_cache.clear()
+    scan3, _ = eth3d._load_scan_cached(p, 0.05)
+    assert scan3.shape[0] > 0
+
+
 def test_accuracy_uses_surface_not_vertices(tmp_path):
     """A point at the CENTER of a big triangle is accurate w.r.t. the
     surface but far from every vertex — the regression the official
