@@ -52,6 +52,8 @@ def _doh_pyramid(img, n_octaves: int, max_per_octave: int, threshold: float):
         for i in range(1, len(sigmas))
     ]
 
+    if jnp.issubdtype(img.dtype, jnp.integer):
+        img = img.astype(jnp.float32) / 255.0
     out = []
     octave_img = sift_mod._blur(img, sift_mod._gaussian_kernel(SIGMA0))
     for octave in range(n_octaves):
@@ -63,7 +65,10 @@ def _doh_pyramid(img, n_octaves: int, max_per_octave: int, threshold: float):
         top_k = max(256, max_per_octave >> octave)
         out.append(sift_mod._device_octave_features(G, R, top_k, threshold, SIGMA0))
         octave_img = sift_mod._downsample2(gaussians[NUM_SCALES])
-    return jnp.concatenate(out, axis=0)
+    return (
+        jnp.concatenate([m for m, _ in out], axis=0),
+        jnp.concatenate([d for _, d in out], axis=0),
+    )
 
 
 def extract_doh(
@@ -88,13 +93,13 @@ def dispatch_doh(
 ):
     """Async dispatch; see lfr_tpu.ops.sift.dispatch_sift."""
     img, true_h, true_w, n_octaves = sift_mod.prepare_image(image, min_dim=24.0)
-    packed = _doh_pyramid(img, n_octaves, max_per_octave, threshold)
+    meta, desc = _doh_pyramid(img, n_octaves, max_per_octave, threshold)
     sizes = sift_mod.octave_sizes(n_octaves, max_per_octave)
-    return packed, sizes, true_h, true_w, max_features
+    return meta, desc, sizes, true_h, true_w, max_features
 
 
 def collect_doh(handle) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    packed, sizes, true_h, true_w, max_features = handle
+    meta, desc, sizes, true_h, true_w, max_features = handle
     return sift_mod.collect_octave_features(
-        np.asarray(packed), sizes, true_h, true_w, max_features
+        np.asarray(meta), np.asarray(desc), sizes, true_h, true_w, max_features
     )
