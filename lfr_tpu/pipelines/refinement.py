@@ -201,9 +201,12 @@ class TwoViewRefiner:
                 file=sys.stderr,
             )
             variables = panet.init_params(jax.random.PRNGKey(rng_seed), compute_dtype)
-        self.variables = variables
+        # Inference-only: fold the head's eval-mode BatchNorm into the conv
+        # weights (measured 56.5% -> 68.5% of bf16 peak on the refine head,
+        # scripts/bench_head_variants.py).
+        self.variables = panet.fold_bn_variables(variables)
         self.batch_size = int(batch_size)
-        self.model = panet.PANet(compute_dtype)
+        self.model = panet.PANet(compute_dtype, folded=True)
 
         @functools.partial(jax.jit, static_argnames=("sym",))
         def _patch_cnn(variables, img1, img2, ij1, ij2, sym):

@@ -163,3 +163,34 @@ def test_init_and_bf16_forward_runs():
     d12, d21 = apply_sym(variables, ref, tgt)
     assert d12.shape == (2, 2) and d21.shape == (2, 2)
     assert np.isfinite(np.asarray(d12)).all()
+
+
+def test_folded_bn_matches_eval_mode(oracle_and_variables):
+    """fold_bn_variables + PANet(folded=True) must reproduce the eval-mode
+    BN head: exact in float32 compute up to reassociation rounding."""
+    _, variables = oracle_and_variables
+    rng = np.random.default_rng(7)
+    ref = panet.normalize_patches(jnp.asarray(_rand_patches(rng, 3)))
+    tgt = panet.normalize_patches(jnp.asarray(_rand_patches(rng, 3)))
+    base = panet.PANet(compute_dtype=jnp.float32)
+    d12, d21 = base.apply(variables, ref, tgt, method=panet.PANet.forward_sym)
+    folded_vars = panet.fold_bn_variables(variables)
+    assert "batch_stats" not in folded_vars
+    folded = panet.PANet(compute_dtype=jnp.float32, folded=True)
+    f12, f21 = folded.apply(folded_vars, ref, tgt, method=panet.PANet.forward_sym)
+    np.testing.assert_allclose(np.asarray(f12), np.asarray(d12), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(f21), np.asarray(d21), atol=1e-4)
+
+
+def test_folded_bn_bf16_close():
+    """Under bfloat16 compute the folded head stays within ~5e-3
+    displacement units of the unfolded eval path."""
+    variables = panet.init_params(jax.random.PRNGKey(5))
+    rng = np.random.default_rng(8)
+    ref = panet.normalize_patches(jnp.asarray(_rand_patches(rng, 4)))
+    tgt = panet.normalize_patches(jnp.asarray(_rand_patches(rng, 4)))
+    base = panet.PANet()
+    d12 = base.apply(variables, ref, tgt)
+    folded = panet.PANet(folded=True)
+    f12 = folded.apply(panet.fold_bn_variables(variables), ref, tgt)
+    np.testing.assert_allclose(np.asarray(f12), np.asarray(d12), atol=5e-3)
