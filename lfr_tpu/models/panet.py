@@ -67,6 +67,35 @@ class Backbone(nn.Module):
         return x
 
 
+class _FoldedConv(nn.Module):
+    """bf16 VALID conv with f32 accumulation, f32 bias add + ReLU.
+
+    Exactly the kernel benchmarked in scripts/bench_head_variants.py
+    (``head_folded``): the folded bias stays float32 and is added to the
+    float32 conv accumulator, not rounded through bfloat16 first."""
+
+    features: int
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (5, 5, x.shape[-1], self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.compute_dtype),
+            kernel.astype(self.compute_dtype),
+            (1, 1),
+            "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.maximum(y + bias, 0.0).astype(self.compute_dtype)
+
+
 class RefineHead(nn.Module):
     """Four unpadded 5x5 conv+BN+ReLU stages, 17x17 -> 1x1
     (reference: model.py:24-37).
@@ -75,9 +104,10 @@ class RefineHead(nn.Module):
     BatchNorm affine is pre-folded into the conv kernels/biases
     (see :func:`fold_bn_variables`), removing four float32 elementwise
     stages and their dtype bounces between the MXU convs — measured
-    56.5% -> 68.5% of bf16 peak on v5e (scripts/bench_head_variants.py),
-    with max output deviation ~2e-3 displacement units (~0.03 px) on
-    L2-normalized correlation inputs."""
+    56.5% -> 68.5% of bf16 peak on v5e (scripts/bench_head_variants.py,
+    which times this exact kernel via :class:`_FoldedConv`), with max
+    output deviation ~4e-3 displacement units (~0.07 px) vs the f32 head
+    on trained weights."""
 
     compute_dtype: Any = jnp.bfloat16
     folded: bool = False
@@ -87,12 +117,12 @@ class RefineHead(nn.Module):
         if self.folded and train:
             raise ValueError("folded RefineHead is inference-only")
         for i, feat in enumerate([128, 128, 64, 64]):
+            if self.folded:
+                x = _FoldedConv(feat, self.compute_dtype, name=f"conv{i}")(x)
+                continue
             x = nn.Conv(
                 feat, (5, 5), padding="VALID", dtype=self.compute_dtype, name=f"conv{i}"
             )(x)
-            if self.folded:
-                x = nn.relu(x)
-                continue
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, dtype=jnp.float32, name=f"bn{i}"
             )(x.astype(jnp.float32))
@@ -193,8 +223,10 @@ def fold_bn_variables(variables: Dict, eps: float = 1e-5) -> Dict:
     Returns a variable tree for ``PANet(folded=True)``: the ``refine``
     collection keeps only conv kernels/biases (``y = conv(x)*s + (b-mean)*s
     + beta`` with ``s = scale/sqrt(var+eps)``) and ``batch_stats`` is
-    dropped.  Exact in float32; under bfloat16 compute the rounding point
-    moves, bounded at ~2e-3 displacement units on realistic inputs
+    dropped.  Equivalent to the unfolded eval-mode head up to float32
+    reassociation rounding (~1e-3 displacement units on trained weights);
+    under bfloat16 compute the total deviation is ~4e-3 units (~0.07 px),
+    the same order as the unfolded bf16 head's own deviation from f32
     (tests/test_panet.py)."""
     params = variables["params"]
     refine = params["refine"]

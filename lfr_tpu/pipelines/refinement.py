@@ -203,8 +203,11 @@ class TwoViewRefiner:
             variables = panet.init_params(jax.random.PRNGKey(rng_seed), compute_dtype)
         # Inference-only: fold the head's eval-mode BatchNorm into the conv
         # weights (measured 56.5% -> 68.5% of bf16 peak on the refine head,
-        # scripts/bench_head_variants.py).
-        self.variables = panet.fold_bn_variables(variables)
+        # scripts/bench_head_variants.py).  A tree without batch_stats is
+        # taken to be already folded (e.g. reloaded folded weights).
+        if "batch_stats" in variables:
+            variables = panet.fold_bn_variables(variables)
+        self.variables = variables
         self.batch_size = int(batch_size)
         self.model = panet.PANet(compute_dtype, folded=True)
 

@@ -139,9 +139,11 @@ def main():
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
-    corr = jnp.asarray(
-        np.abs(rng.standard_normal((args.batch, 17, 17, 289))).astype(np.float32)
-    )
+    # Match the real input distribution: correlations are ReLU'd and
+    # L2-normalized over the 289 channels before entering the head.
+    corr_np = np.abs(rng.standard_normal((args.batch, 17, 17, 289))).astype(np.float32)
+    corr_np /= np.linalg.norm(corr_np, axis=-1, keepdims=True)
+    corr = jnp.asarray(corr_np)
 
     from lfr_tpu.models.checkpoint import load_variables
 
@@ -155,6 +157,12 @@ def main():
     folded_dev = jax.tree_util.tree_map(jnp.asarray, folded)
     predict_dev = jax.tree_util.tree_map(jnp.asarray, predict)
 
+    # The SHIPPED inference path: PANet(folded=True) with fold_bn_variables
+    # output — what pipelines/refinement.py actually runs.
+    model_folded = panet.PANet(folded=True)
+    folded_vars = panet.fold_bn_variables(variables)
+    f_shipped = jax.jit(functools.partial(head_flax, model_folded, folded_vars))
+
     f_flax = jax.jit(functools.partial(head_flax, model, variables))
     f_fold = jax.jit(functools.partial(head_folded, folded_dev, predict_dev))
     f_im2col = jax.jit(functools.partial(head_folded_im2col, folded_dev, predict_dev))
@@ -162,12 +170,19 @@ def main():
     ref = np.asarray(f_flax(corr))
     out_f = np.asarray(f_fold(corr))
     out_i = np.asarray(f_im2col(corr))
+    out_s = np.asarray(f_shipped(corr))
     err_f = float(np.max(np.abs(out_f - ref)))
     err_i = float(np.max(np.abs(out_i - ref)))
+    err_s = float(np.max(np.abs(out_s - ref)))
 
     fl = head_flops(args.batch)
     results = {}
-    for name, fn in [("flax_bn", f_flax), ("folded", f_fold), ("folded_im2col", f_im2col)]:
+    for name, fn in [
+        ("flax_bn", f_flax),
+        ("folded", f_fold),
+        ("folded_im2col", f_im2col),
+        ("panet_folded_shipped", f_shipped),
+    ]:
         dt = timeit(fn, corr)
         tf = fl / dt / 1e12
         results[name] = {
@@ -176,8 +191,11 @@ def main():
             "pct_peak": round(100 * tf / V5E_BF16_PEAK, 1),
         }
         print(f"{name:16s} {dt*1e3:9.3f} ms  {tf:7.2f} TFLOP/s  {100*tf/V5E_BF16_PEAK:5.1f}%")
-    print(f"max |folded-flax| = {err_f:.3e}   max |im2col-flax| = {err_i:.3e}")
-    results["max_abs_err"] = {"folded": err_f, "im2col": err_i}
+    print(
+        f"max |folded-flax| = {err_f:.3e}   max |im2col-flax| = {err_i:.3e}"
+        f"   max |shipped-flax| = {err_s:.3e}"
+    )
+    results["max_abs_err"] = {"folded": err_f, "im2col": err_i, "shipped": err_s}
     if args.json:
         with open(args.json, "w") as f:
             json.dump(results, f, indent=1)
