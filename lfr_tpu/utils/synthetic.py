@@ -89,6 +89,44 @@ class Scene:
         return self.rotations.shape[0]
 
 
+def _arc_poses(num_cameras: int, look_z: float) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Camera ring poses: (R, center) per camera, all seeing z=look_z.
+
+    Cameras sit on an arc of radius ``look_z`` about the surface center
+    with a small vertical offset per camera.  The angular step is 0.1 rad
+    for small rigs (matching the original 4-camera layouts) but the TOTAL
+    span is capped at 1.2 rad and the vertical run at 1.8 units, so rigs
+    of any size keep every camera pointed at the surface (a 100-camera
+    rig with a fixed 0.1-rad step would span +-4.95 rad — most cameras
+    facing away from the scene entirely)."""
+    arc_step = 0.1 if num_cameras <= 13 else 1.2 / (num_cameras - 1)
+    y_step = 0.15 if num_cameras <= 13 else 1.8 / (num_cameras - 1)
+    poses = []
+    for c in range(num_cameras):
+        angle = (c - (num_cameras - 1) / 2) * arc_step
+        Ry = np.array(
+            [
+                [np.cos(angle), 0, np.sin(angle)],
+                [0, 1, 0],
+                [-np.sin(angle), 0, np.cos(angle)],
+            ]
+        )
+        center = np.array(
+            [look_z * np.sin(angle), y_step * c, look_z - look_z * np.cos(angle)]
+        )
+        poses.append((Ry, center))
+    return poses
+
+
+def _exposure_jitter(img: np.ndarray, rng: np.random.Generator, amount: float) -> np.ndarray:
+    """Per-view photometric change: gain + gamma (different cameras/exposures)."""
+    gain = 1.0 + rng.uniform(-amount, amount)
+    gamma = float(np.exp(rng.uniform(-amount, amount)))
+    out = np.clip(img.astype(np.float64) * gain, 0, 255)
+    out = 255.0 * (out / 255.0) ** gamma
+    return np.clip(out, 0, 255)
+
+
 def planar_scene(
     rng: np.random.Generator,
     num_points: int = 150,
@@ -100,6 +138,7 @@ def planar_scene(
     tex_px_per_unit: float = 220.0,
     texture: np.ndarray = None,
     depth_step: float = 0.0,
+    exposure_jitter: float = 0.0,
 ) -> Tuple["Scene", List[np.ndarray]]:
     """A textured plane photographed by an arc of cameras.
 
@@ -112,6 +151,8 @@ def planar_scene(
     plane_z + depth_step — a piecewise-planar relief that keeps the
     essential matrix well-conditioned (a single plane is degenerate for
     E-based SfM initialization; COLMAP falls back to homography there).
+    ``exposure_jitter``: per-view gain/gamma jitter amplitude (e.g. 0.15)
+    emulating exposure changes between photographs.
     Returns (scene, images); scene.points lie on the surface.
     """
     tex_size = int(2 * plane_half * tex_px_per_unit) + 64
@@ -163,17 +204,7 @@ def planar_scene(
         )
 
     rotations, translations, observations, visible, images = [], [], [], [], []
-    for c in range(num_cameras):
-        angle = (c - (num_cameras - 1) / 2) * 0.1
-        Ry = np.array(
-            [
-                [np.cos(angle), 0, np.sin(angle)],
-                [0, 1, 0],
-                [-np.sin(angle), 0, np.cos(angle)],
-            ]
-        )
-        center = np.array([plane_z * np.sin(angle), 0.15 * c, plane_z - plane_z * np.cos(angle)])
-        R = Ry
+    for c, (R, center) in enumerate(_arc_poses(num_cameras, plane_z)):
         t = -R @ center
 
         cam_pts = points @ R.T + t
@@ -209,7 +240,10 @@ def planar_scene(
             world = np.where(use_a[..., None], wa, wb)
         r_t, c_t = tex_coords(world[..., :2])
         img = bilinear(texture, r_t, c_t)
-        images.append(np.clip(img, 0, 255).astype(np.uint8))
+        img = np.clip(img, 0, 255)
+        if exposure_jitter:
+            img = _exposure_jitter(img, rng, exposure_jitter)
+        images.append(img.astype(np.uint8))
 
         rotations.append(R)
         translations.append(t)
@@ -419,6 +453,232 @@ def random_scene(
         observations=observations,
         visible=visible,
     )
+
+#: Default foreground slabs for :func:`layered_scene`: (z, x0, x1, y0, y1).
+DEFAULT_SLABS: Tuple[Tuple[float, float, float, float, float], ...] = (
+    (5.2, -1.9, -0.3, -1.4, 1.0),
+    (6.0, 0.4, 2.0, -0.8, 1.6),
+)
+
+
+def layered_scene(
+    rng: np.random.Generator,
+    num_points: int = 160,
+    num_cameras: int = 6,
+    width: int = 640,
+    height: int = 480,
+    bg_z: float = 7.0,
+    bg_half: float = 3.2,
+    slabs: Tuple[Tuple[float, float, float, float, float], ...] = DEFAULT_SLABS,
+    textures: List[np.ndarray] = None,
+    tex_px_per_unit: float = 200.0,
+    exposure_jitter: float = 0.0,
+    fg_point_frac: float = 0.5,
+) -> Tuple["Scene", List[np.ndarray]]:
+    """Occlusion-bearing multi-surface scene: textured slabs floating in
+    front of a textured background plane.
+
+    Unlike :func:`planar_scene`, patches near slab edges straddle DEPTH
+    DISCONTINUITIES — the two views of such a patch see different geometry
+    (foreground on one side, differently-moving background on the other),
+    the hard case for patch-alignment refinement on real data (the
+    reference CNN faces these constantly on ETH3D; its patches are plain
+    33x33 crops, two-view-refinement/refinement.py:23-43).  Per-camera
+    visibility accounts for slab occlusion of background points, and
+    ``exposure_jitter`` applies per-view gain/gamma.
+
+    ``slabs``: (z, x0, x1, y0, y1) rectangles parallel to the background
+    plane, z < bg_z.  ``textures``: [background, slab0, slab1, ...]; random
+    textures fill in for missing entries.  Half of each slab's points are
+    planted within 0.15 units (~14 px) of the slab boundary so refinement
+    is exercised exactly at occlusion edges.
+    Returns (scene, images); scene.points lie on the surfaces.
+    """
+    slabs = sorted(slabs, key=lambda s: s[0])  # nearest first
+    n_surf = 1 + len(slabs)
+    textures = list(textures) if textures else []
+
+    def prep_texture(idx: int, size_px: int) -> np.ndarray:
+        if idx < len(textures) and textures[idx] is not None:
+            tex = np.asarray(textures[idx], np.float32)
+            reps = (-(-size_px // tex.shape[0]), -(-size_px // tex.shape[1]))
+            if max(reps) > 1:
+                tex = np.tile(tex, (reps[0], reps[1], 1))
+            return tex[:size_px, :size_px]
+        return textured_image(rng, size_px, size_px).astype(np.float32)
+
+    # Render extent is twice the point-planting extent so no pixel ray
+    # falls off the textured background (off-plane rays would clamp to
+    # the texture border and render as streaks).
+    bg_render_half = 2.0 * bg_half
+    bg_size = int(2 * bg_render_half * tex_px_per_unit) + 64
+    bg_tex = prep_texture(0, bg_size)
+    slab_texs = []
+    for i, (z, x0, x1, y0, y1) in enumerate(slabs):
+        size = int(max(x1 - x0, y1 - y0) * tex_px_per_unit) + 64
+        slab_texs.append(prep_texture(1 + i, size))
+
+    # --- plant points: background + per-slab (half near the boundary) ---
+    n_fg = int(num_points * fg_point_frac)
+    n_bg = num_points - n_fg
+    pts = [
+        np.stack(
+            [
+                rng.uniform(-bg_half * 0.85, bg_half * 0.85, n_bg),
+                rng.uniform(-bg_half * 0.85, bg_half * 0.85, n_bg),
+                np.full(n_bg, bg_z),
+            ],
+            axis=1,
+        )
+    ]
+    per_slab = [n_fg // len(slabs)] * len(slabs)
+    per_slab[0] += n_fg - sum(per_slab)
+    edge_band = 0.15
+    for (z, x0, x1, y0, y1), n in zip(slabs, per_slab):
+        n_edge = n // 2
+        n_in = n - n_edge
+        pts.append(
+            np.stack(
+                [
+                    rng.uniform(x0 + edge_band, x1 - edge_band, n_in),
+                    rng.uniform(y0 + edge_band, y1 - edge_band, n_in),
+                    np.full(n_in, z),
+                ],
+                axis=1,
+            )
+        )
+        # Edge-band points: uniform along the perimeter, just inside.
+        side = rng.integers(0, 4, n_edge)
+        u = rng.uniform(0, 1, n_edge)
+        off = rng.uniform(0.02, edge_band, n_edge)
+        ex = np.where(
+            side == 0, x0 + off, np.where(side == 1, x1 - off, x0 + u * (x1 - x0))
+        )
+        ey = np.where(
+            side <= 1, y0 + u * (y1 - y0), np.where(side == 2, y0 + off, y1 - off)
+        )
+        pts.append(np.stack([ex, ey, np.full(n_edge, z)], axis=1))
+    points = np.concatenate(pts, axis=0)
+
+    f = 500.0
+    K = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1.0]])
+    Kinv = np.linalg.inv(K)
+
+    def bilinear(tex, r, c):
+        r = np.clip(r, 0, tex.shape[0] - 2)
+        c = np.clip(c, 0, tex.shape[1] - 2)
+        r0 = np.floor(r).astype(int)
+        c0 = np.floor(c).astype(int)
+        fr = (r - r0)[..., None]
+        fc = (c - c0)[..., None]
+        return (
+            tex[r0, c0] * (1 - fr) * (1 - fc)
+            + tex[r0, c0 + 1] * (1 - fr) * fc
+            + tex[r0 + 1, c0] * fr * (1 - fc)
+            + tex[r0 + 1, c0 + 1] * fr * fc
+        )
+
+    look_z = 0.5 * (slabs[0][0] + bg_z)
+    rotations, translations, observations, visible, images = [], [], [], [], []
+    for R, center in _arc_poses(num_cameras, look_z):
+        t = -R @ center
+
+        cam_pts = points @ R.T + t
+        uv = (cam_pts / cam_pts[:, 2:]) @ K.T
+        uv = uv[:, :2]
+        vis = (
+            (cam_pts[:, 2] > 0.2)
+            & (uv[:, 0] > 20)
+            & (uv[:, 0] < width - 20)
+            & (uv[:, 1] > 20)
+            & (uv[:, 1] < height - 20)
+        )
+        # Occlusion: a point is hidden if the camera->point segment crosses
+        # a strictly nearer slab inside its rectangle.
+        for z, x0, x1, y0, y1 in slabs:
+            nearer = points[:, 2] > z + 1e-6
+            denom = points[:, 2] - center[2]
+            s = np.where(np.abs(denom) > 1e-12, (z - center[2]) / denom, -1.0)
+            hit = center[None, :2] + s[:, None] * (points[:, :2] - center[None, :2])
+            blocked = (
+                nearer
+                & (s > 0)
+                & (s < 1)
+                & (hit[:, 0] > x0)
+                & (hit[:, 0] < x1)
+                & (hit[:, 1] > y0)
+                & (hit[:, 1] < y1)
+            )
+            vis &= ~blocked
+
+        # --- render: nearest surface per pixel ray ---
+        jj, ii = np.meshgrid(np.arange(width), np.arange(height))
+        rays = np.stack([jj, ii, np.ones_like(jj)], axis=-1).astype(np.float64) @ Kinv.T
+        d = rays @ R  # world-frame ray directions
+        o = center
+        dz = np.where(np.abs(d[..., 2]) > 1e-12, d[..., 2], 1e-12)
+        lam_bg = (bg_z - o[2]) / dz
+        world_bg = o[None, None] + lam_bg[..., None] * d
+        r_t = (world_bg[..., 1] + bg_render_half) * tex_px_per_unit + 32
+        c_t = (world_bg[..., 0] + bg_render_half) * tex_px_per_unit + 32
+        img = bilinear(bg_tex, r_t, c_t)
+        # Paint slabs far-to-near so the nearest valid hit wins.
+        for (z, x0, x1, y0, y1), tex in zip(slabs[::-1], slab_texs[::-1]):
+            lam = (z - o[2]) / dz
+            w = o[None, None] + lam[..., None] * d
+            on = (
+                (lam > 0)
+                & (w[..., 0] > x0)
+                & (w[..., 0] < x1)
+                & (w[..., 1] > y0)
+                & (w[..., 1] < y1)
+            )
+            r_s = (w[..., 1] - y0) * tex_px_per_unit + 32
+            c_s = (w[..., 0] - x0) * tex_px_per_unit + 32
+            img = np.where(on[..., None], bilinear(tex, r_s, c_s), img)
+        img = np.clip(img, 0, 255)
+        if exposure_jitter:
+            img = _exposure_jitter(img, rng, exposure_jitter)
+        images.append(img.astype(np.uint8))
+
+        rotations.append(R)
+        translations.append(t)
+        observations.append(uv)
+        visible.append(vis)
+
+    scene = Scene(
+        points=points,
+        rotations=np.stack(rotations),
+        translations=np.stack(translations),
+        K=K,
+        width=width,
+        height=height,
+        observations=observations,
+        visible=visible,
+    )
+    return scene, images
+
+
+def layered_surface_mesh(
+    bg_z: float = 7.0,
+    bg_half: float = 3.2,
+    slabs: Tuple[Tuple[float, float, float, float, float], ...] = DEFAULT_SLABS,
+):
+    """Triangulated ground-truth mesh of :func:`layered_scene`'s surfaces.
+
+    The background quad spans the RENDER extent (2x ``bg_half``, matching
+    :func:`layered_scene`) so every visible background pixel lies on it."""
+    h = 2.0 * bg_half
+    verts = [
+        [-h, -h, bg_z], [h, -h, bg_z], [h, h, bg_z], [-h, h, bg_z],
+    ]
+    faces = [[0, 1, 2], [0, 2, 3]]
+    for z, x0, x1, y0, y1 in slabs:
+        b = len(verts)
+        verts += [[x0, y0, z], [x1, y0, z], [x1, y1, z], [x0, y1, z]]
+        faces += [[b, b + 1, b + 2], [b, b + 2, b + 3]]
+    return np.asarray(verts, np.float64), np.asarray(faces, np.int64)
+
 
 def planar_surface_mesh(
     plane_z: float = 6.0, plane_half: float = 2.6, depth_step: float = 0.0
