@@ -20,7 +20,6 @@ import numpy as np
 import optax
 
 from ..config import DISPLACEMENT_UNIT_PX
-from ..ops.patches import extract_patches
 from ..utils import synthetic
 from . import panet
 
@@ -96,9 +95,56 @@ def make_train_step(tx: optax.GradientTransformation, compute_dtype=jnp.bfloat16
     return train_step
 
 
+def make_train_chunk(tx: optax.GradientTransformation, compute_dtype=jnp.bfloat16):
+    """Jittable K-step chunk: scans the train step over stacked batches
+    (K, B, ...) in ONE device program — on a tunneled TPU each dispatch
+    pays a network round trip, so per-step dispatch dominates wall time."""
+    train_step = make_train_step(tx, compute_dtype)
+
+    def chunk_fn(state: TrainState, ref_all, tgt_all, delta_all):
+        def body(st, xs):
+            r, t, d = xs
+            st2, loss = train_step(st, r, t, d)
+            return st2, loss
+
+        return jax.lax.scan(body, state, (ref_all, tgt_all, delta_all))
+
+    return chunk_fn
+
+
 # ---------------------------------------------------------------------------
 # Data generation
 # ---------------------------------------------------------------------------
+
+
+def _np_sample_bilinear(img: np.ndarray, coords: np.ndarray) -> np.ndarray:
+    """Host-side bilinear sampling: img (H, W, C) at (i, j) coords (..., 2).
+
+    Training centers carry a margin larger than any warp+displacement
+    reach, so coordinates are in-bounds and simple clamping matches
+    ops.patches.sample_bilinear exactly.  Keeping the sampler on the host
+    avoids one tiny device program per (image, batch-slice) pair — the
+    device round-trips made batch sampling ~30 s/batch; this is ~ms.
+    """
+    h, w = img.shape[:2]
+    i = np.clip(coords[..., 0], 0.0, h - 1.0)
+    j = np.clip(coords[..., 1], 0.0, w - 1.0)
+    i0 = np.floor(i).astype(np.int32)
+    j0 = np.floor(j).astype(np.int32)
+    i0 = np.minimum(i0, h - 2)
+    j0 = np.minimum(j0, w - 2)
+    di = (i - i0)[..., None]
+    dj = (j - j0)[..., None]
+    v00 = img[i0, j0]
+    v01 = img[i0, j0 + 1]
+    v10 = img[i0 + 1, j0]
+    v11 = img[i0 + 1, j0 + 1]
+    return (
+        v00 * (1 - di) * (1 - dj)
+        + v01 * (1 - di) * dj
+        + v10 * di * (1 - dj)
+        + v11 * di * dj
+    )
 
 
 def sample_batch(
@@ -120,14 +166,20 @@ def sample_batch(
         n = min(per_image, remaining)
         if n <= 0:
             break
+        from ..config import PATCH_SIZE
+        from ..ops.patches import patch_offsets
+
         h, w = img.shape[:2]
+        # Margin covers patch half-extent (16.5) + max displacement, so
+        # the host sampler never needs reflection.
         centers = np.stack(
-            [rng.uniform(24, h - 24, n), rng.uniform(24, w - 24, n)], axis=1
+            [rng.uniform(26, h - 26, n), rng.uniform(26, w - 26, n)], axis=1
         )
         delta_px = rng.uniform(-max_disp_px, max_disp_px, (n, 2))
-        ref = np.asarray(extract_patches(jnp.asarray(img), jnp.asarray(centers)))
-        tgt = np.asarray(
-            extract_patches(jnp.asarray(img), jnp.asarray(centers + delta_px))
+        offs = np.asarray(patch_offsets(PATCH_SIZE))
+        ref = _np_sample_bilinear(img, centers[:, None, None, :] + offs[None])
+        tgt = _np_sample_bilinear(
+            img, (centers + delta_px)[:, None, None, :] + offs[None]
         )
         # Photometric jitter on the target (brightness/contrast).
         scale = 1.0 + rng.uniform(-jitter, jitter, (n, 1, 1, 1))
@@ -152,6 +204,7 @@ def sample_batch_warped(
     max_rot: float = 0.25,
     scale_range: Tuple[float, float] = (0.85, 1.18),
     noise: float = 4.0,
+    occlusion_prob: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Warped-patch pairs: the target is the same content re-sampled at
     center + delta through a random similarity warp (rotation + scale)
@@ -162,6 +215,12 @@ def sample_batch_warped(
 
     The warp is centered on the displaced content, so the ground-truth
     alignment label stays -delta exactly as in :func:`sample_batch`.
+
+    ``occlusion_prob``: probability of overwriting a random half-plane of
+    the target patch with content from a DIFFERENT image — a depth
+    discontinuity seen from a second viewpoint, where the far side of an
+    occlusion edge moves independently.  The label stays the foreground
+    displacement: the network must align on the consistent part.
     """
     from ..config import PATCH_SIZE
     from ..ops.patches import patch_offsets, sample_bilinear
@@ -198,10 +257,8 @@ def sample_batch_warped(
             (centers + delta_px)[:, None, None, :]
             + np.einsum("nab,ijb->nija", M, offs)
         )
-        import jax.numpy as jnp
-
-        ref = np.asarray(sample_bilinear(jnp.asarray(img), jnp.asarray(ref_coords)))
-        tgt = np.asarray(sample_bilinear(jnp.asarray(img), jnp.asarray(tgt_coords)))
+        ref = _np_sample_bilinear(img, ref_coords)
+        tgt = _np_sample_bilinear(img, tgt_coords)
         # Photometric: per-sample gain/bias + gamma + gaussian noise.
         gain = 1.0 + rng.uniform(-jitter, jitter, (n, 1, 1, 1))
         bias = rng.uniform(-jitter, jitter, (n, 1, 1, 1)) * 255.0
@@ -209,6 +266,8 @@ def sample_batch_warped(
         tgt = np.clip(tgt * gain + bias, 0, 255)
         tgt = 255.0 * (tgt / 255.0) ** gamma
         tgt = np.clip(tgt + rng.normal(0, noise, tgt.shape), 0, 255)
+        if occlusion_prob > 0.0:
+            tgt = _occlude_half_plane(rng, tgt, images, occlusion_prob)
         refs.append(ref)
         tgts.append(tgt)
         deltas.append(delta_px / DISPLACEMENT_UNIT_PX)
@@ -219,8 +278,50 @@ def sample_batch_warped(
     return ref.astype(np.float32), tgt.astype(np.float32), delta.astype(np.float32)
 
 
+def _occlude_half_plane(
+    rng: np.random.Generator,
+    tgt: np.ndarray,
+    images: list,
+    prob: float,
+    min_offset: float = 4.0,
+) -> np.ndarray:
+    """Overwrite a random half-plane of some target patches with a crop
+    from another image (occlusion augmentation; see sample_batch_warped).
+
+    The dividing line passes at >= min_offset px from the patch center so
+    the keypoint itself stays on the foreground surface."""
+    n, ps = tgt.shape[0], tgt.shape[1]
+    hit = rng.random(n) < prob
+    if not hit.any():
+        return tgt
+    ii, jj = np.meshgrid(np.arange(ps), np.arange(ps), indexing="ij")
+    ii = ii - (ps - 1) / 2.0
+    jj = jj - (ps - 1) / 2.0
+    out = tgt.copy()
+    for k in np.flatnonzero(hit):
+        theta = rng.uniform(0, 2 * np.pi)
+        offset = rng.uniform(min_offset, ps / 2.0)
+        mask = ii * np.cos(theta) + jj * np.sin(theta) > offset
+        src = images[rng.integers(0, len(images))]
+        h, w = src.shape[:2]
+        if h <= ps or w <= ps:
+            continue
+        r0 = rng.integers(0, h - ps)
+        c0 = rng.integers(0, w - ps)
+        out[k][mask] = src[r0 : r0 + ps, c0 : c0 + ps][mask]
+    return out
+
+
 def synthetic_images(rng: np.random.Generator, count: int = 8, h: int = 256, w: int = 256):
     return [synthetic.textured_image(rng, h, w).astype(np.float32) for _ in range(count)]
+
+
+#: Photos excluded from the "real" training corpus by default: every image
+#: the accuracy A/B (scripts/ab_realistic.py) renders evaluation scenes
+#: from, so the headline refined-vs-raw numbers are leak-free (the
+#: reference's protocol evaluates on held-out scenes,
+#: reference: README.md:104-115).
+DEFAULT_HOLDOUT = ("china", "flower", "grace_hopper")
 
 
 def train(
@@ -235,6 +336,8 @@ def train(
     eval_every: int = 500,
     compute_dtype=jnp.bfloat16,
     checkpoint_path: Optional[str] = None,
+    holdout: Tuple[str, ...] = DEFAULT_HOLDOUT,
+    occlusion_prob: float = 0.0,
 ) -> dict:
     """Train PANet; returns final variables {params, batch_stats}.
 
@@ -242,6 +345,9 @@ def train(
     photos/textures, see utils.corpus), or use ``image_dir``.
     ``warp``: sample targets through random similarity warps + noise
     (recommended with real images).
+    ``holdout``: path substrings excluded from the "real" corpus; the
+    held-out photos form the validation set.
+    ``occlusion_prob``: occlusion augmentation rate (warp mode only).
     """
     rng = np.random.default_rng(seed)
     # Cosine-decayed Adam with warmup for the long real-image runs.
@@ -256,7 +362,6 @@ def train(
         opt_state=tx.init(variables["params"]),
         step=0,
     )
-    step_fn = jax.jit(make_train_step(tx, compute_dtype))
 
     val_images = None
     if image_dir is not None:
@@ -271,25 +376,54 @@ def train(
             except Exception:
                 continue
     elif corpus == "real":
-        from ..utils.corpus import load_corpus
+        import os
 
-        # Hold grace_hopper out for validation.
-        images = load_corpus(exclude=["grace_hopper"])
-        val_images = load_corpus(include_textures=False)
-        val_images = [
-            im for im in val_images if im.shape[0] == 600  # grace_hopper only
-        ] or None
+        import cv2
+
+        from ..utils.corpus import discover_local_images, load_corpus
+
+        # Every held-out photo is excluded from training and forms the
+        # validation set (leak-free: the A/B scenes render from these).
+        images = load_corpus(exclude=list(holdout))
+        val_paths = [
+            p
+            for p in discover_local_images(include_textures=False)
+            if any(h in p for h in holdout)
+        ]
+        val_images = []
+        for p in val_paths:
+            img = cv2.imread(p)
+            if img is not None:
+                val_images.append(
+                    cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
+                )
+        val_images = val_images or None
         if not images:
             raise RuntimeError("no local real images found; use corpus='synthetic'")
-        print(f"[train] real corpus: {len(images)} images", flush=True)
+        print(
+            f"[train] real corpus: {len(images)} images, held out for "
+            f"validation: {[os.path.basename(p) for p in val_paths]}",
+            flush=True,
+        )
     else:
         images = synthetic_images(rng)
 
-    sampler = sample_batch_warped if warp else sample_batch
+    if warp:
+        import functools
+
+        sampler = functools.partial(sample_batch_warped, occlusion_prob=occlusion_prob)
+    else:
+        sampler = sample_batch
     val_batch = None
+    val_batch_occ = None
     if val_images:
         val_rng = np.random.default_rng(12345)
         val_batch = sample_batch_warped(val_rng, val_images, 256)
+        # Occlusion-bearing validation: half the targets carry a foreign
+        # half-plane, probing robustness at depth discontinuities.
+        val_batch_occ = sample_batch_warped(
+            val_rng, val_images, 256, occlusion_prob=0.5
+        )
 
     best_val = float("inf")
     result = None
@@ -300,18 +434,38 @@ def train(
             "batch_stats": jax.tree_util.tree_map(np.asarray, state.batch_stats),
         }
 
-    for step in range(num_steps):
-        ref, tgt, delta = sampler(rng, images, batch_size)
-        state, loss = step_fn(state, jnp.asarray(ref), jnp.asarray(tgt), jnp.asarray(delta))
-        if log_every and step % log_every == 0:
-            print(f"[train] step {step} loss {float(loss):.5f}", flush=True)
-        if val_batch is not None and eval_every and (step + 1) % eval_every == 0:
+    # Run K steps per dispatch: one stacked host->device transfer and one
+    # lax.scan'd program per chunk.  On a tunneled TPU both the transfer
+    # and every dispatch pay a network round trip (~1 s/step at K=1).
+    chunk = 16
+    chunk_fn = jax.jit(make_train_chunk(tx, compute_dtype))
+    step = 0
+    while step < num_steps:
+        k = min(chunk, num_steps - step)
+        batches = [sampler(rng, images, batch_size) for _ in range(k)]
+        ref_all = jnp.asarray(np.stack([b[0] for b in batches]))
+        tgt_all = jnp.asarray(np.stack([b[1] for b in batches]))
+        delta_all = jnp.asarray(np.stack([b[2] for b in batches]))
+        state, losses = chunk_fn(state, ref_all, tgt_all, delta_all)
+        step += k
+        if log_every and (step - k) // log_every != step // log_every:
+            print(f"[train] step {step} loss {float(losses[-1]):.5f}", flush=True)
+        if val_batch is not None and eval_every and (step - k) // eval_every != step // eval_every:
             err = evaluate_px_error(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 val_batch,
                 compute_dtype,
             )
-            print(f"[train] step {step + 1} val error {err:.3f} px", flush=True)
+            err_occ = evaluate_px_error(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                val_batch_occ,
+                compute_dtype,
+            )
+            print(
+                f"[train] step {step} val error {err:.3f} px "
+                f"(occlusion {err_occ:.3f} px)",
+                flush=True,
+            )
             if err < best_val:
                 best_val = err
                 result = snapshot()
@@ -362,6 +516,18 @@ def main(argv=None) -> None:
     parser.add_argument("--warp", action="store_true", help="similarity-warped targets + noise")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--output", required=True, help="checkpoint path (.msgpack)")
+    parser.add_argument(
+        "--holdout",
+        nargs="*",
+        default=list(DEFAULT_HOLDOUT),
+        help="path substrings excluded from the real corpus (validation set)",
+    )
+    parser.add_argument(
+        "--occlusion_prob",
+        type=float,
+        default=0.0,
+        help="occlusion-augmentation rate for warped sampling",
+    )
     args = parser.parse_args(argv)
 
     variables = train(
@@ -373,6 +539,8 @@ def main(argv=None) -> None:
         warp=args.warp,
         seed=args.seed,
         checkpoint_path=args.output,
+        holdout=tuple(args.holdout),
+        occlusion_prob=args.occlusion_prob,
     )
     from .checkpoint import save_variables
 

@@ -12,16 +12,26 @@ This is the reference's primary end-to-end entry point at dataset scale
 processes); here it is one program and the arrays stay on device between
 stages.
 
-Writes results/e2e_scale_r02.json and prints a stage-timing table.
+Every stage runs ``--repeat`` times (default 3) and the report carries
+median + min/max, so a single slow run (tunnel hiccup, first-compile)
+can't masquerade as the steady state (the reference prints per-stage
+wall-clock for the same reason, solve.cc:585-589,640-641).
 
-Usage: python scripts/bench_e2e_scale.py [--num_cameras 30] [--out ...]
+``--sfm`` additionally runs the full incremental-mapper SfM refined-vs-raw
+A/B on the same scene (reference: colmap mapper,
+reconstruction-scripts/colmap_utils.py:226-236).
+
+Usage: python scripts/bench_e2e_scale.py [--num_cameras 100] [--repeat 3]
+       [--scene planar|layered] [--sfm] [--out ...]
 """
 
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -34,15 +44,41 @@ select_platform()
 import numpy as np
 
 
+def _median_spread(xs):
+    xs = sorted(xs)
+    return {
+        "median_s": round(float(np.median(xs)), 2),
+        "min_s": round(xs[0], 2),
+        "max_s": round(xs[-1], 2),
+        "runs": [round(x, 2) for x in xs],
+    }
+
+
+def _clean_run_artifacts(root: str, method: str):
+    """Remove per-run DBs / sparse models / PLYs so a repeat starts clean
+    (the pipelines refuse to overwrite them, like the reference's
+    reconstruction_pipeline.py:67-68)."""
+    for pat in (f"{method}-*.db", f"sparse-{method}-*", f"*.ply"):
+        for p in glob.glob(os.path.join(root, pat)):
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            else:
+                os.remove(p)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--checkpoint", default="weights/panet_real.msgpack")
-    ap.add_argument("--out", default="results/e2e_scale_r02.json")
+    ap.add_argument("--checkpoint", default="weights/panet_holdout.msgpack")
+    ap.add_argument("--out", default="results/e2e_scale_r03.json")
     ap.add_argument("--num_cameras", type=int, default=30)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--max_features", type=int, default=2048)
     ap.add_argument("--fine_mode", default="crop", choices=["grid", "crop"])
+    ap.add_argument("--scene", default="planar", choices=["planar", "layered"])
+    ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--sfm", action="store_true",
+                    help="also run the incremental-mapper SfM A/B")
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
 
@@ -59,55 +95,92 @@ def main():
 
     rng = np.random.default_rng(7)
     t0 = time.perf_counter()
-    scene, images = synthetic.planar_scene(
-        rng,
-        num_points=64,  # planted features are replaced by real SIFT below
-        num_cameras=args.num_cameras,
-        width=args.width,
-        height=args.height,
-        texture=photos[0],
-        depth_step=0.5,
-    )
+    if args.scene == "layered":
+        scene, images = synthetic.layered_scene(
+            rng,
+            num_points=64,  # planted features are replaced by real SIFT below
+            num_cameras=args.num_cameras,
+            width=args.width,
+            height=args.height,
+            textures=photos[:3],
+            exposure_jitter=0.12,
+        )
+        mesh = synthetic.layered_surface_mesh()
+    else:
+        scene, images = synthetic.planar_scene(
+            rng,
+            num_points=64,
+            num_cameras=args.num_cameras,
+            width=args.width,
+            height=args.height,
+            texture=photos[0],
+            depth_step=0.5,
+        )
+        mesh = synthetic.planar_surface_mesh(depth_step=0.5)
     workdir = args.workdir or tempfile.mkdtemp(prefix="lfr_e2e_")
     root = os.path.join(workdir, "scene")
     synthetic.make_eth3d_dataset(
-        root,
-        scene,
-        rng,
-        rendered_images=images,
-        scan_mesh=synthetic.planar_surface_mesh(depth_step=0.5),
+        root, scene, rng, rendered_images=images, scan_mesh=mesh
     )
     t_dataset = time.perf_counter() - t0
 
-    # Replace the planted features with REAL TPU SIFT extraction (the
-    # production path; reference: utils/extract_features_sift.py).
     image_dir = os.path.join(root, "images")
-    for f in os.listdir(image_dir):
-        if f.endswith(".sift"):
-            os.remove(os.path.join(image_dir, f))
-    t0 = time.perf_counter()
-    n_feats = extract_features.extract_directory(
-        image_dir, "sift", max_features=args.max_features, verbose=False
-    )
-    t_extract = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    results = benchmark.run_eth(
-        root,
-        "sift",
-        output_path=os.path.join(workdir, "out"),
-        checkpoint=args.checkpoint,
-        verbose=False,
-        fine_mode=args.fine_mode,
-        batch_size=2048,
-    )
-    t_bench = time.perf_counter() - t0
-
-    # Derived throughputs.
     n_images = args.num_cameras
     n_pairs = n_images * (n_images - 1) // 2
-    spans = {s["span"]: s["ms"] for s in results["timing"]}
-    mg_ms = spans.get("match_graph", 0.0)
+
+    stage_runs: dict = {}
+    results = None
+    sfm_results = None
+    sfm_wall = []
+    for rep in range(max(1, args.repeat)):
+        # Fresh start: drop extracted features and per-run artifacts.
+        for f in os.listdir(image_dir):
+            if f.endswith(".sift"):
+                os.remove(os.path.join(image_dir, f))
+        _clean_run_artifacts(root, "sift")
+
+        t0 = time.perf_counter()
+        n_feats = extract_features.extract_directory(
+            image_dir, "sift", max_features=args.max_features, verbose=False
+        )
+        stage_runs.setdefault("sift_extract", []).append(time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        results = benchmark.run_eth(
+            root,
+            "sift",
+            output_path=os.path.join(workdir, f"out_{rep}"),
+            checkpoint=args.checkpoint,
+            verbose=False,
+            fine_mode=args.fine_mode,
+            batch_size=2048,
+        )
+        stage_runs.setdefault("total_pipeline", []).append(time.perf_counter() - t0)
+        for s in results["timing"]:
+            stage_runs.setdefault(s["span"], []).append(s["ms"] / 1e3)
+
+        if args.sfm:
+            root_sfm = root + f"_sfm{rep}"
+            shutil.copytree(
+                root,
+                root_sfm,
+                ignore=shutil.ignore_patterns("sift-*.db", "sparse-*", "*.ply"),
+            )
+            t0 = time.perf_counter()
+            sfm_results = benchmark.run_sfm(
+                root_sfm,
+                "sift",
+                output_path=os.path.join(workdir, f"out_sfm_{rep}"),
+                checkpoint=args.checkpoint,
+                verbose=False,
+                fine_mode=args.fine_mode,
+                batch_size=2048,
+            )
+            sfm_wall.append(time.perf_counter() - t0)
+
+    stage_stats = {k: _median_spread(v) for k, v in stage_runs.items()}
+    med_extract = stage_stats["sift_extract"]["median_s"]
+    med_mg = stage_stats.get("match_graph", {}).get("median_s", 0.0)
 
     payload = {
         "config": {
@@ -116,44 +189,46 @@ def main():
             "max_features": args.max_features,
             "n_pairs": n_pairs,
             "fine_mode": args.fine_mode,
+            "scene": args.scene,
             "checkpoint": args.checkpoint,
+            "repeat": args.repeat,
             "device": "tpu v5e (1 chip)",
         },
-        "stage_wall_s": {
-            "dataset_render": round(t_dataset, 2),
-            "sift_extract": round(t_extract, 2),
-            "match_graph_refine": round(mg_ms / 1e3, 2),
-            "solve": round(spans.get("solve", 0.0) / 1e3, 2),
-            "triangulation_ref": round(spans.get("triangulation_ref", 0.0) / 1e3, 2),
-            "triangulation_raw": round(spans.get("triangulation_raw", 0.0) / 1e3, 2),
-            "evaluation_ref": round(spans.get("evaluation_ref", 0.0) / 1e3, 2),
-            "evaluation_raw": round(spans.get("evaluation_raw", 0.0) / 1e3, 2),
-            "total_pipeline": round(t_bench, 2),
-        },
+        "dataset_render_s": round(t_dataset, 2),
+        "stage_wall_s": stage_stats,
         "throughput": {
-            "images_per_s_extract": round(n_images / t_extract, 2),
-            "pairs_per_s_match_refine": round(n_pairs / (mg_ms / 1e3), 2) if mg_ms else None,
+            "images_per_s_extract": round(n_images / med_extract, 2),
+            "pairs_per_s_match_refine": round(n_pairs / med_mg, 2) if med_mg else None,
         },
         "stats": {tag: results[tag] for tag in ("ref", "raw") if tag in results},
         "features_extracted": n_feats,
     }
+    if args.sfm and sfm_results is not None:
+        payload["sfm_wall_s"] = _median_spread(sfm_wall)
+        payload["sfm"] = {
+            tag: sfm_results[tag] for tag in ("ref", "raw") if tag in sfm_results
+        }
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as fh:
         json.dump(payload, fh, indent=1)
 
     print(f"\n{n_images} images ({args.width}x{args.height}), {n_pairs} pairs, "
-          f"max {args.max_features} features, fine_mode={args.fine_mode}")
-    print("| stage | wall s |")
-    print("|---|---|")
-    for k, v in payload["stage_wall_s"].items():
-        print(f"| {k} | {v} |")
+          f"max {args.max_features} features, fine_mode={args.fine_mode}, "
+          f"scene={args.scene}, repeat={args.repeat}")
+    print("| stage | median s | min | max |")
+    print("|---|---|---|---|")
+    for k, v in stage_stats.items():
+        print(f"| {k} | {v['median_s']} | {v['min_s']} | {v['max_s']} |")
     for tag in ("ref", "raw"):
         if tag in results:
             st = dict(results[tag])
             ev = st.pop("evaluation", {})
             acc = ev.get("accuracies", [None, None])[:2]
             print(f"{tag}: {st} acc@1,2cm={acc}")
+    if args.sfm and sfm_results is not None:
+        for tag in ("ref", "raw"):
+            print(f"sfm {tag}: {sfm_results[tag]}")
     print(f"wrote {args.out}")
 
 
