@@ -107,6 +107,42 @@ def load_mlp_scan(mlp_path: str, surface_spacing: float = SURFACE_SPACING):
 #: surface samples.
 _BRUTE_FORCE_MIN_PAIRS = int(1e8)
 
+#: Shared block size for device NN work: the SAME padded device array then
+#: serves as query blocks in one direction and corpus blocks in the other,
+#: so a multi-million-sample scan is uploaded through the TPU tunnel once
+#: per process instead of twice per evaluation.
+_DEV_CHUNK = 4096
+
+#: id(host array) -> (host array ref, true length, device blocks).  The
+#: host reference pins the id; entries are few (scan + recent clouds).
+_device_blocks_cache: Dict[int, tuple] = {}
+
+
+def _device_blocks(arr: np.ndarray):
+    """Padded (N_blocks, _DEV_CHUNK, 3) device copy of ``arr``, cached by
+    object identity.  Padding rows sit at 1e6 on every axis: as corpus
+    they never win a min against real geometry; as queries their nearest
+    real distance is ~1e6 m (never within tolerance).  Padded-query vs
+    padded-corpus pairs are at distance 0 — callers subtract that count
+    (see _count_within)."""
+    import jax.numpy as jnp
+
+    key = id(arr)
+    hit = _device_blocks_cache.get(key)
+    if hit is not None and hit[0] is arr:
+        return hit[1], hit[2]
+    a = np.ascontiguousarray(arr, np.float32)
+    n = a.shape[0]
+    # Block counts bucket to powers of two for program reuse (shapes are
+    # static; distinct counts would recompile through the remote compiler).
+    nb = 1 << max(0, (-(-n // _DEV_CHUNK) - 1)).bit_length()
+    a = np.pad(a, ((0, nb * _DEV_CHUNK - n), (0, 0)), constant_values=1e6)
+    blocks = jnp.asarray(a.reshape(-1, _DEV_CHUNK, 3))
+    if len(_device_blocks_cache) > 6:
+        _device_blocks_cache.clear()
+    _device_blocks_cache[key] = (arr, n, blocks)
+    return n, blocks
+
 
 def _min_dists_brute(queries: np.ndarray, corpus: np.ndarray) -> np.ndarray:
     """Nearest-neighbor distances by chunked brute force on the device.
@@ -189,6 +225,71 @@ def _min_dists(queries: np.ndarray, corpus: np.ndarray) -> np.ndarray:
     return d
 
 
+def _count_within_impl(q_blocks, c_blocks, tol2):
+    """Per-tolerance count of queries whose squared NN distance <= tol2.
+
+    Everything stays on device: only (T,) counts return to the host —
+    at 100-camera scale the per-query distance vector alone is >100 MB
+    through the tunnel."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    def per_q(qb):  # (chunk, 3)
+        def body(best, cb):
+            d2 = jnp.sum((qb[:, None, :] - cb[None, :, :]) ** 2, axis=-1)
+            return jnp.minimum(best, d2.min(axis=1)), None
+
+        best, _ = lax.scan(
+            body, jnp.full((qb.shape[0],), jnp.inf, jnp.float32), c_blocks
+        )
+        return (best[None, :] <= tol2[:, None]).sum(axis=1)  # (T,)
+
+    return lax.map(per_q, q_blocks).sum(axis=0)
+
+
+_count_within_jitted = None
+
+
+def _fractions_within(
+    queries: np.ndarray, corpus: np.ndarray, tolerances: Sequence[float]
+) -> List[float]:
+    """Fraction of queries within each tolerance of the corpus.
+
+    Device path computes counts in one program over cached point blocks;
+    padded queries and padded corpus both sit at 1e6, so their mutual
+    distance-0 pairs are subtracted exactly (real geometry never reaches
+    within tolerance of a 1e6 pad)."""
+    force = os.environ.get("LFR_EVAL_BRUTE")
+    if force is not None:
+        use_brute = force == "1"
+    else:
+        import jax
+
+        use_brute = (
+            queries.shape[0] * corpus.shape[0] >= _BRUTE_FORCE_MIN_PAIRS
+            and jax.default_backend() != "cpu"
+        )
+    if not use_brute:
+        d, _ = cKDTree(corpus).query(queries, k=1, workers=-1)
+        return [float((d <= t).mean()) for t in tolerances]
+
+    global _count_within_jitted
+    import jax
+    import jax.numpy as jnp
+
+    if _count_within_jitted is None:
+        _count_within_jitted = jax.jit(_count_within_impl)
+    nq, qb = _device_blocks(queries)
+    nc, cb = _device_blocks(corpus)
+    tol2 = jnp.asarray(np.square(np.asarray(tolerances, np.float32)))
+    counts = np.asarray(_count_within_jitted(qb, cb, tol2), np.int64)
+    n_pad_q = qb.shape[0] * qb.shape[1] - nq
+    corpus_padded = cb.shape[0] * cb.shape[1] > nc
+    if corpus_padded and n_pad_q:
+        counts = counts - n_pad_q
+    return [float(c) / nq for c in counts]
+
+
 def evaluate_point_cloud(
     reconstruction: np.ndarray,
     scan: np.ndarray,
@@ -206,17 +307,12 @@ def evaluate_point_cloud(
             "evaluation_mode": mode,
         }
 
-    d_rec_to_scan = _min_dists(reconstruction, scan)
-    d_scan_to_rec = _min_dists(scan, reconstruction)
-
-    accuracies, completenesses, f1s = [], [], []
-    for t in tolerances:
-        acc = float((d_rec_to_scan <= t).mean())
-        comp = float((d_scan_to_rec <= t).mean())
-        f1 = 2 * acc * comp / (acc + comp) if (acc + comp) > 0 else 0.0
-        accuracies.append(acc)
-        completenesses.append(comp)
-        f1s.append(f1)
+    accuracies = _fractions_within(reconstruction, scan, tolerances)
+    completenesses = _fractions_within(scan, reconstruction, tolerances)
+    f1s = [
+        2 * a * c / (a + c) if (a + c) > 0 else 0.0
+        for a, c in zip(accuracies, completenesses)
+    ]
     return {
         "tolerances": list(tolerances),
         "accuracies": accuracies,

@@ -121,3 +121,34 @@ def test_accuracy_uses_surface_not_vertices(tmp_path):
 
     txt = eth3d.format_results(res)
     assert "Evaluation-mode: surface" in txt
+
+
+def test_device_count_path_matches_kdtree(monkeypatch):
+    """The on-device count-within path (used at production scale to avoid
+    shipping multi-million-point distance vectors through the tunnel)
+    must agree exactly with the exact host KD-tree, including the
+    padded-query x padded-corpus distance-0 correction."""
+    rng = np.random.default_rng(3)
+    # Corpus NOT a multiple of the 4096 block (both sides padded).
+    scan = rng.uniform(-1, 1, (5001, 3))
+    rec = scan[:301] + rng.normal(0, 0.01, (301, 3))
+    monkeypatch.setenv("LFR_EVAL_BRUTE", "1")
+    res_b = eth3d.evaluate_point_cloud(rec, scan, mode="surface")
+    monkeypatch.setenv("LFR_EVAL_BRUTE", "0")
+    res_k = eth3d.evaluate_point_cloud(rec, scan, mode="surface")
+    np.testing.assert_allclose(res_b["accuracies"], res_k["accuracies"], atol=1e-12)
+    np.testing.assert_allclose(
+        res_b["completenesses"], res_k["completenesses"], atol=1e-12
+    )
+
+    # Corpus an exact block multiple (no corpus padding, queries padded).
+    scan2 = rng.uniform(-1, 1, (4096, 3))
+    rec2 = scan2[:100] + rng.normal(0, 0.01, (100, 3))
+    monkeypatch.setenv("LFR_EVAL_BRUTE", "1")
+    res_b2 = eth3d.evaluate_point_cloud(rec2, scan2, mode="surface")
+    monkeypatch.setenv("LFR_EVAL_BRUTE", "0")
+    res_k2 = eth3d.evaluate_point_cloud(rec2, scan2, mode="surface")
+    np.testing.assert_allclose(res_b2["accuracies"], res_k2["accuracies"], atol=1e-12)
+    np.testing.assert_allclose(
+        res_b2["completenesses"], res_k2["completenesses"], atol=1e-12
+    )
