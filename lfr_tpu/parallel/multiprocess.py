@@ -74,12 +74,12 @@ def _local_rows(global_rows: int, axis_len_per_process: Optional[int] = None):
     return pid * per, (pid + 1) * per
 
 
-def _demo_component_batch(global_b: int):
-    """Deterministic solvable component bucket (global shapes)."""
+def _demo_component_batch(global_b: int, n: int = 8, e: int = 24):
+    """Deterministic solvable component bucket (global shapes):
+    ``global_b`` components of ``n`` nodes / ``e`` directed edges."""
     from ..solver.lm import ComponentBatch
 
     rng = np.random.default_rng(7)
-    n, e = 8, 24
     flow = rng.uniform(-0.2, 0.2, (global_b, e, 3, 3, 2)).astype(np.float32)
     esrc = rng.integers(0, n, (global_b, e)).astype(np.int32)
     edst = (esrc + 1 + rng.integers(0, n - 1, (global_b, e))).astype(np.int32) % n
@@ -94,6 +94,36 @@ def _demo_component_batch(global_b: int):
         node_valid=np.ones((global_b, n), bool),
     )
     return batch
+
+
+def _demo_ba_problem(n_cam: int = 6, n_pts: int = 60):
+    """Deterministic dense BA problem: every camera sees every point."""
+    from ..sfm import ba as ba_mod
+
+    rng = np.random.default_rng(11)
+    f = 500.0
+    pts = rng.uniform(-1, 1, (n_pts, 3))
+    pts[:, 2] += 6.0
+    R = np.tile(np.eye(3), (n_cam, 1, 1))
+    t = np.zeros((n_cam, 3))
+    t[:, 0] = np.linspace(-0.5, 0.5, n_cam)
+    obs_cam = np.repeat(np.arange(n_cam), n_pts)
+    obs_pt = np.tile(np.arange(n_pts), n_cam)
+    cam_pts = np.einsum("cij,pj->cpi", R, pts) + t[:, None]
+    obs_uv = (cam_pts[..., :2] / cam_pts[..., 2:]).reshape(-1, 2)
+    order = np.argsort(obs_pt, kind="stable")
+    fixed = np.zeros(n_cam, bool)
+    fixed[:2] = True
+    return ba_mod.BAProblem(
+        R,
+        t,
+        pts + rng.normal(0, 0.01, pts.shape),
+        obs_cam[order],
+        obs_pt[order],
+        obs_uv[order],
+        np.full(n_cam * n_pts, f),
+        fixed,
+    )
 
 
 def solve_batch_distributed(batch, mesh, max_iter: int = 25) -> np.ndarray:
@@ -146,8 +176,25 @@ def worker_main(argv: Optional[List[str]] = None) -> None:
     parser.add_argument("--process_id", type=int, required=True)
     parser.add_argument("--global_batch", type=int, default=64)
     parser.add_argument("--iterations", type=int, default=10)
+    parser.add_argument("--ba_cams", type=int, default=6)
+    parser.add_argument("--ba_pts", type=int, default=60)
+    parser.add_argument("--ba_iters", type=int, default=8)
     parser.add_argument("--out", default=None)
     args = parser.parse_args(argv)
+
+    # Emulate per-host CPU ownership: each worker gets a disjoint core
+    # slice (a real second host brings its own cores).  Without this the
+    # N workers each spawn an all-cores XLA thread pool and the measured
+    # "multi-process overhead" is just N-fold thread oversubscription.
+    if args.num_processes > 1:
+        try:
+            cores = sorted(os.sched_getaffinity(0))
+            per = max(1, len(cores) // args.num_processes)
+            mine = cores[args.process_id * per : (args.process_id + 1) * per]
+            if mine:
+                os.sched_setaffinity(0, mine)
+        except (AttributeError, OSError):
+            pass
 
     import jax
 
@@ -179,26 +226,8 @@ def worker_main(argv: Optional[List[str]] = None) -> None:
     # --- Sharded BA with observation-axis process-local feeding. ----------
     from ..sfm import ba as ba_mod
 
-    rng = np.random.default_rng(11)
-    n_cam, n_pts = 6, 60
-    f = 500.0
-    pts = rng.uniform(-1, 1, (n_pts, 3))
-    pts[:, 2] += 6.0
-    R = np.tile(np.eye(3), (n_cam, 1, 1))
-    t = np.zeros((n_cam, 3))
-    t[:, 0] = np.linspace(-0.5, 0.5, n_cam)
-    obs_cam = np.repeat(np.arange(n_cam), n_pts)
-    obs_pt = np.tile(np.arange(n_pts), n_cam)
-    cam_pts = np.einsum("cij,pj->cpi", R, pts) + t[:, None]
-    obs_uv = (cam_pts[..., :2] / cam_pts[..., 2:]).reshape(-1, 2)
-    order = np.argsort(obs_pt, kind="stable")
-    fixed = np.zeros(n_cam, bool)
-    fixed[:2] = True
-    prob = ba_mod.BAProblem(
-        R, t, pts + rng.normal(0, 0.01, pts.shape),
-        obs_cam[order], obs_pt[order], obs_uv[order],
-        np.full(n_cam * n_pts, f), fixed,
-    )
+    n_cam, n_pts = args.ba_cams, args.ba_pts
+    prob = _demo_ba_problem(n_cam, n_pts)
 
     pt_idx, pt_valid = ba_mod._group_by_point(prob.obs_pt, n_pts)
     from . import mesh as mesh_mod2
@@ -212,34 +241,42 @@ def worker_main(argv: Optional[List[str]] = None) -> None:
         local = padded[args.process_id * per : (args.process_id + 1) * per]
         return put_global(local, mesh, obs_spec), orig
 
-    t0 = time.perf_counter()
-    oc, _ = put_obs(prob.obs_cam)
-    op, _ = put_obs(prob.obs_pt)
-    ouv, _ = put_obs(prob.obs_uv)
-    focal_padded, _ = mesh_mod2.pad_to_multiple(prob.obs_focal, n_dev, axis=0)
-    per = focal_padded.shape[0] // args.num_processes
-    ofo = put_global(
-        focal_padded[args.process_id * per : (args.process_id + 1) * per], mesh, obs_spec
-    )
-    Rj, tj, fs, X, cost = ba_mod.ba_iterate(
-        put_global(prob.R, mesh, rep),
-        put_global(prob.t, mesh, rep),
-        put_global(np.zeros(n_cam, np.float32), mesh, rep),
-        put_global(prob.points, mesh, rep),
-        oc, op, ouv, ofo,
-        put_global(ba_mod._free_mask(prob), mesh, rep),
-        put_global(pt_idx, mesh, rep),
-        put_global(pt_valid, mesh, rep),
-        n_cameras=n_cam,
-        iterations=8,
-    )
     import jax.numpy as jnp
 
-    cost = float(
-        np.asarray(
-            multihost_utils.process_allgather(jnp.reshape(cost, (1,)), tiled=True)
-        )[0]
-    )
+    def run_ba_once():
+        oc, _ = put_obs(prob.obs_cam)
+        op, _ = put_obs(prob.obs_pt)
+        ouv, _ = put_obs(prob.obs_uv)
+        focal_padded, _ = mesh_mod2.pad_to_multiple(prob.obs_focal, n_dev, axis=0)
+        per = focal_padded.shape[0] // args.num_processes
+        ofo = put_global(
+            focal_padded[args.process_id * per : (args.process_id + 1) * per],
+            mesh,
+            obs_spec,
+        )
+        Rj, tj, fs, X, cost = ba_mod.ba_iterate(
+            put_global(prob.R, mesh, rep),
+            put_global(prob.t, mesh, rep),
+            put_global(np.zeros(n_cam, np.float32), mesh, rep),
+            put_global(prob.points, mesh, rep),
+            oc, op, ouv, ofo,
+            put_global(ba_mod._free_mask(prob), mesh, rep),
+            put_global(pt_idx, mesh, rep),
+            put_global(pt_valid, mesh, rep),
+            n_cameras=n_cam,
+            iterations=args.ba_iters,
+        )
+        return float(
+            np.asarray(
+                multihost_utils.process_allgather(jnp.reshape(cost, (1,)), tiled=True)
+            )[0]
+        )
+
+    t0 = time.perf_counter()
+    cost = run_ba_once()
+    ba_warm_ms = (time.perf_counter() - t0) * 1e3
+    t0 = time.perf_counter()
+    cost = run_ba_once()
     ba_ms = (time.perf_counter() - t0) * 1e3
     rms = float(np.sqrt(2 * cost / prob.obs_cam.shape[0]))
     assert np.isfinite(cost), "distributed BA diverged"
@@ -251,6 +288,8 @@ def worker_main(argv: Optional[List[str]] = None) -> None:
         "solve_ms": round(solve_ms, 2),
         "solve_warm_ms": round(warm_ms, 2),
         "ba_ms": round(ba_ms, 2),
+        "ba_warm_ms": round(ba_warm_ms, 2),
+        "ba_obs": int(prob.obs_cam.shape[0]),
         "ba_rms_px": round(rms, 4),
     }
     print(json.dumps(report), flush=True)
@@ -265,6 +304,9 @@ def launch(
     devices_per_process: int,
     global_batch: int = 64,
     iterations: int = 10,
+    ba_cams: int = 6,
+    ba_pts: int = 60,
+    ba_iters: int = 8,
     timeout: float = 600.0,
     out: Optional[str] = None,
 ) -> dict:
@@ -291,6 +333,9 @@ def launch(
             "--process_id", str(pid),
             "--global_batch", str(global_batch),
             "--iterations", str(iterations),
+            "--ba_cams", str(ba_cams),
+            "--ba_pts", str(ba_pts),
+            "--ba_iters", str(ba_iters),
             "--out", out,
         ]
         procs.append(
