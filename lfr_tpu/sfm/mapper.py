@@ -143,6 +143,9 @@ class IncrementalMapper:
         self.track_imgs: Dict[int, set] = {}               # pid -> {iid}
         self.pid_of_g = np.full(self.total, -1, np.int64)
         self.next_pid = 1
+        # Flat liveness mask over pids (grown on demand): vectorized
+        # "pid in self.points" for the registration/completion scans.
+        self._pid_live = np.zeros(1024, bool)
 
     # -- assignment helpers ------------------------------------------------
 
@@ -160,9 +163,20 @@ class IncrementalMapper:
         self.points[pid] = X
         self.track[pid] = []
         self.track_imgs[pid] = set()
+        if pid >= self._pid_live.shape[0]:
+            grown = np.zeros(max(pid + 1, 2 * self._pid_live.shape[0]), bool)
+            grown[: self._pid_live.shape[0]] = self._pid_live
+            self._pid_live = grown
+        self._pid_live[pid] = True
         for iid, feat in obs:
             self._assign(iid, feat, pid)
         return pid
+
+    def _kill_point(self, pid: int) -> None:
+        del self.points[pid]
+        del self.track[pid]
+        del self.track_imgs[pid]
+        self._pid_live[pid] = False
 
     # ------------------------------------------------------------------
     # Initialization
@@ -297,26 +311,20 @@ class IncrementalMapper:
         votes = np.bincount(group_ids)
         g_src = src[boundary]
         g_pid = pids[boundary]
-        # Per src, keep the pid with most votes.
-        best = {}
+        # Per src, keep the pid with most votes: sort groups by vote count
+        # descending, then take each src's first occurrence (np.unique
+        # returns first-occurrence indices).
         vorder = np.argsort(-votes, kind="stable")
-        for i in vorder:
-            s = g_src[i]
-            if s not in best:
-                best[s] = (g_pid[i], votes[i])
-        if not best:
-            return (np.zeros(0, np.int64),) * 3
-        f = np.array(sorted(best), np.int64)
-        p = np.array([best[s][0] for s in f], np.int64)
-        v = np.array([best[s][1] for s in f], np.int64)
-        return f, p, v
+        fs, ps, vs = g_src[vorder], g_pid[vorder], votes[vorder]
+        f, first = np.unique(fs, return_index=True)
+        return f, ps[first], vs[first]
 
     def _visible_points(self, iid: int):
         """2D-3D correspondences for an unregistered image (vectorized)."""
         lo = self.base[iid]
         hi = lo + self.kp[iid].shape[0]
         f, p, _ = self._vote_pids(lo, hi)
-        live = np.array([pid in self.points for pid in p], bool) if p.size else p.astype(bool)
+        live = self._pid_live[p] if p.size else p.astype(bool)
         f, p = f[live], p[live]
         if f.size == 0:
             return np.zeros((0, 3)), np.zeros((0, 2)), np.zeros((0, 2), np.int64)
@@ -347,7 +355,7 @@ class IncrementalMapper:
             # Attach inlier observations to their tracks.
             for k in np.nonzero(inliers)[0]:
                 feat, pid = int(fp[k, 0]), int(fp[k, 1])
-                if self.pid_of_g[self._gid(iid, feat)] >= 0 or pid not in self.points:
+                if self.pid_of_g[self._gid(iid, feat)] >= 0 or not self._pid_live[pid]:
                     continue
                 if iid in self.track_imgs[pid]:
                     continue
@@ -451,24 +459,31 @@ class IncrementalMapper:
     # ------------------------------------------------------------------
 
     def _collect_obs(self, cam_ids: List[int], pids: List[int]):
+        """Observation arrays for BA over (cam_ids x pids), fully
+        vectorized: one pass over the flat assignment array instead of a
+        per-track Python loop (the loop was the global-BA bottleneck at
+        100+ cameras)."""
         cam_index = {iid: k for k, iid in enumerate(cam_ids)}
         pt_index = {pid: k for k, pid in enumerate(pids)}
-        obs_cam, obs_pt, obs_uv, obs_f = [], [], [], []
-        for pid in pids:
-            for iid, feat in self.track[pid]:
-                if iid not in cam_index:
-                    continue
-                obs_cam.append(cam_index[iid])
-                obs_pt.append(pt_index[pid])
-                obs_uv.append(self.norm_uv[iid][feat])
-                obs_f.append(self.focal[iid])
-        obs_pt = np.asarray(obs_pt, np.int64)
-        order = np.argsort(obs_pt, kind="stable")
+        # LUTs: image index -> camera slot, pid -> point slot (-1 = drop).
+        cam_lut = np.full(len(self.iids), -1, np.int64)
+        for iid, k in cam_index.items():
+            cam_lut[self.iid_index[iid]] = k
+        pid_lut = np.full(self.next_pid, -1, np.int64)
+        pid_lut[np.asarray(pids, np.int64)] = np.arange(len(pids))
+
+        gids = np.flatnonzero(self.pid_of_g >= 0)
+        ocam = cam_lut[self.img_of_g[gids]]
+        opt = pid_lut[self.pid_of_g[gids]]
+        keep = (ocam >= 0) & (opt >= 0)
+        gids, ocam, opt = gids[keep], ocam[keep], opt[keep]
+        order = np.argsort(opt, kind="stable")
+        gids = gids[order]
         return (
-            np.asarray(obs_cam, np.int64)[order],
-            obs_pt[order],
-            np.asarray(obs_uv)[order],
-            np.asarray(obs_f)[order],
+            ocam[order],
+            opt[order],
+            self.uv_g[gids],
+            self.focal_g[gids],
             cam_index,
             pt_index,
         )
@@ -492,16 +507,12 @@ class IncrementalMapper:
             iterations = self.opt.ba_iterations
         else:
             # Points seen by the new camera; covisibility-ranked neighbors.
-            pids = sorted(
-                {
-                    pid
-                    for pid in self.pid_of_g[
-                        self.base[local_around] : self.base[local_around]
-                        + self.kp[local_around].shape[0]
-                    ]
-                    if pid >= 0 and pid in self.points
-                }
-            )
+            seg = self.pid_of_g[
+                self.base[local_around] : self.base[local_around]
+                + self.kp[local_around].shape[0]
+            ]
+            cand = seg[seg >= 0]
+            pids = np.unique(cand[self._pid_live[cand]]).tolist()
             if not pids:
                 return
             covis: Dict[int, int] = {}
@@ -588,7 +599,7 @@ class IncrementalMapper:
             f, p, _ = self._vote_pids(lo, hi)
             if f.size == 0:
                 continue
-            live = np.array([pid in self.points for pid in p], bool)
+            live = self._pid_live[p]
             f, p = f[live], p[live]
             if f.size == 0:
                 continue
@@ -622,22 +633,18 @@ class IncrementalMapper:
 
         removed = 0
         for pid in list(self.points):
-            track = [
-                (iid, f)
-                for iid, f in self.track[pid]
-                if iid in self.R and self._gid(iid, f) not in bad_set
-            ]
-            dropped = [obs for obs in self.track[pid] if obs not in track]
-            for iid, f in dropped:
-                self.pid_of_g[self._gid(iid, f)] = -1
+            track = []
+            for iid, f in self.track[pid]:
+                if iid in self.R and self._gid(iid, f) not in bad_set:
+                    track.append((iid, f))
+                else:
+                    self.pid_of_g[self._gid(iid, f)] = -1
             self.track[pid] = track
             self.track_imgs[pid] = {iid for iid, _ in track}
             if len(track) < self.opt.min_track_len:
                 for iid, f in track:
                     self.pid_of_g[self._gid(iid, f)] = -1
-                del self.points[pid]
-                del self.track[pid]
-                del self.track_imgs[pid]
+                self._kill_point(pid)
                 removed += 1
         return removed
 
@@ -705,7 +712,8 @@ class IncrementalMapper:
             xys = kp[:, :2].astype(np.float64) if kp.shape[0] else np.zeros((0, 2))
             b = self.base[iid]
             pids = self.pid_of_g[b : b + xys.shape[0]].copy()
-            pids[~np.isin(pids, list(self.points))] = -1
+            live = (pids >= 0) & self._pid_live[np.maximum(pids, 0)]
+            pids[~live] = -1
             model.images[iid] = model_mod.Image(
                 iid,
                 model_mod.rotmat_to_qvec(self.R[iid]),
@@ -715,14 +723,34 @@ class IncrementalMapper:
                 xys,
                 pids,
             )
+        # Per-point mean reprojection error, batched over all observations.
+        mean_err: Dict[int, float] = {}
+        if self.points:
+            pids_all, gids, Xs = [], [], []
+            for pid, track in self.track.items():
+                for iid, f in track:
+                    pids_all.append(pid)
+                    gids.append(self._gid(iid, f))
+                    Xs.append(self.points[pid])
+            if gids:
+                errs = self._reproj_err_batch(
+                    np.asarray(gids, np.int64), np.stack(Xs)
+                )
+                pids_arr = np.asarray(pids_all, np.int64)
+                sums = np.bincount(
+                    pids_arr, weights=np.nan_to_num(errs, posinf=0.0)
+                )
+                cnts = np.bincount(pids_arr)
+                for pid in self.points:
+                    if pid < cnts.shape[0] and cnts[pid] > 0:
+                        mean_err[pid] = float(sums[pid] / cnts[pid])
         for pid, X in self.points.items():
             track = self.track[pid]
-            errs = [self._reproj_err(iid, X, f) for iid, f in track]
             model.points3D[pid] = model_mod.Point3D(
                 pid,
                 X,
                 np.full(3, 128, np.uint8),
-                float(np.mean(errs)) if errs else 0.0,
+                mean_err.get(pid, 0.0),
                 np.asarray([iid for iid, _ in track]),
                 np.asarray([f for _, f in track]),
             )

@@ -1,16 +1,24 @@
-"""Refined-vs-raw A/B with the TRAINED flow CNN on photo-textured scenes.
+"""Refined-vs-raw A/B with the TRAINED flow CNN on HELD-OUT photo scenes.
 
-The accuracy north star (reference protocol: eth/benchmark.py:114-149):
-run the full match -> refine -> solve -> import -> triangulate -> evaluate
-chain twice (refined and raw) on multi-view datasets whose images are
-REAL PHOTOGRAPHS mapped onto a plane and rendered from an arc of cameras
-(this host has no network egress, so locally bundled photos stand in for
-downloaded benchmark scenes), using the checkpoint trained on the real
-image corpus — no oracle aligner anywhere.
+The accuracy north star (reference protocol: held-out scenes,
+eth/benchmark.py:114-149, README.md:104-115): run the full match ->
+refine -> solve -> import -> triangulate -> evaluate chain twice
+(refined and raw) on multi-view datasets whose images are REAL
+PHOTOGRAPHS rendered from an arc of cameras (this host has no network
+egress, so locally bundled photos stand in for downloaded benchmark
+scenes), using the checkpoint trained on the real image corpus — no
+oracle aligner anywhere.
+
+LEAK-FREE SPLIT: every photo evaluated here (china, flower,
+grace_hopper) is excluded from training by default
+(lfr_tpu.models.train.DEFAULT_HOLDOUT), and the scene set includes an
+OCCLUSION scene (textured slabs over a background plane, patches
+straddling depth discontinuities, per-view exposure jitter) — the hard
+case the planar scenes cannot probe.
 
 Writes results/ab_real.json and prints a markdown table.
 
-Usage: python scripts/ab_realistic.py [--checkpoint weights/panet_real.msgpack]
+Usage: python scripts/ab_realistic.py [--checkpoint weights/panet_holdout.msgpack]
        [--out results/ab_real.json] [--noise 2.0]
 """
 
@@ -32,7 +40,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--checkpoint", default="weights/panet_real.msgpack")
+    ap.add_argument("--checkpoint", default="weights/panet_holdout.msgpack")
     ap.add_argument("--out", default="results/ab_real.json")
     ap.add_argument("--noise", type=float, default=2.0,
                     help="keypoint noise (px) planted on the raw features")
@@ -58,28 +66,53 @@ def main():
     from lfr_tpu.utils import synthetic
     from lfr_tpu.utils.corpus import load_corpus
 
-    photos = load_corpus(include_textures=False, min_size=300)
-    if not photos:
-        raise SystemExit("no local real photos found")
-    scenes = {}
-    for i, photo in enumerate(photos[:3]):
-        scenes[f"photo{i}"] = photo
+    from lfr_tpu.models.train import DEFAULT_HOLDOUT
+    from lfr_tpu.utils.corpus import discover_local_images
+
+    # The held-out photos, by name (training excludes exactly these).
+    paths = discover_local_images(include_textures=False)
+    held_paths = [p for p in paths if any(h in p for h in DEFAULT_HOLDOUT)]
+    if len(held_paths) < 3:
+        raise SystemExit(f"expected 3 held-out photos, found {held_paths}")
+    import cv2
+
+    held = [
+        cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB).astype(np.float32)
+        for p in held_paths
+    ]
+    scenes = {os.path.basename(p).split(".")[0]: img for p, img in zip(held_paths, held)}
+    scenes["occlusion"] = None  # layered scene built from the held-out photos
 
     workdir = args.workdir or tempfile.mkdtemp(prefix="lfr_ab_")
     all_results = {}
     rows = []
     for name, photo in scenes.items():
         rng = np.random.default_rng(hash(name) % (2**32))
-        scene, images = synthetic.planar_scene(
-            rng,
-            num_points=args.num_points,
-            num_cameras=args.num_cameras,
-            width=480,
-            height=360,
-            texture=photo,
-            # Depth relief keeps E-based SfM initialization non-degenerate.
-            depth_step=0.5 if args.sfm else 0.0,
-        )
+        if name == "occlusion":
+            scene, images = synthetic.layered_scene(
+                rng,
+                num_points=args.num_points,
+                num_cameras=args.num_cameras,
+                width=480,
+                height=360,
+                textures=held,
+                exposure_jitter=0.12,
+            )
+            mesh = synthetic.layered_surface_mesh()
+        else:
+            scene, images = synthetic.planar_scene(
+                rng,
+                num_points=args.num_points,
+                num_cameras=args.num_cameras,
+                width=480,
+                height=360,
+                texture=photo,
+                # Depth relief keeps E-based SfM init non-degenerate.
+                depth_step=0.5 if args.sfm else 0.0,
+            )
+            mesh = synthetic.planar_surface_mesh(
+                depth_step=0.5 if args.sfm else 0.0
+            )
         root = os.path.join(workdir, name)
         synthetic.make_eth3d_dataset(
             root,
@@ -90,9 +123,7 @@ def main():
             # Triangulated GT surface: accuracy measures distance to the
             # SURFACE (like the official ETH3D evaluator), not to sparse
             # GT vertices.
-            scan_mesh=synthetic.planar_surface_mesh(
-                depth_step=0.5 if args.sfm else 0.0
-            ),
+            scan_mesh=mesh,
         )
         results = benchmark.run_eth(
             root,
@@ -148,6 +179,12 @@ def main():
         "checkpoint": args.checkpoint,
         "fine_mode": args.fine_mode,
         "keypoint_noise_px": args.noise,
+        "training_holdout": list(DEFAULT_HOLDOUT),
+        "split": (
+            "every evaluated photo is excluded from CNN training "
+            "(leak-free); 'occlusion' is a layered scene with depth "
+            "discontinuities and per-view exposure jitter"
+        ),
         "scenes": all_results,
     }
     with open(args.out, "w") as fh:
