@@ -369,34 +369,91 @@ def _tie_matrix(focal_group: np.ndarray, free: np.ndarray) -> np.ndarray:
     return T
 
 
+def _pow2(n: int, lo: int = 2) -> int:
+    return max(lo, 1 << max(0, int(n - 1).bit_length()))
+
+
 def run_ba(
     problem: BAProblem, iterations: int = 30
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, float]:
-    """Solve; returns (R, t, log_focal_scales, points, final_cost)."""
-    n_cameras = problem.R.shape[0]
-    n_points = problem.points.shape[0]
-    pt_idx, pt_valid = _group_by_point(problem.obs_pt, n_points)
-    fscale0 = (
-        problem.fscale if problem.fscale is not None else np.zeros(n_cameras)
+    """Solve; returns (R, t, log_focal_scales, points, final_cost).
+
+    Every shape (cameras, points, observations, max track length) pads to
+    a power of two so the incremental mapper's many BA calls — whose raw
+    shapes are all distinct — reuse a handful of compiled programs
+    instead of recompiling per registration (each compile costs seconds
+    through the remote TPU compiler).  Padded cameras are frozen
+    identity poses, padded points never appear in observation groups,
+    and padded observations carry zero focal, which nullifies their
+    residuals and Jacobians exactly.  (With ``refine_focal`` +
+    ``focal_group`` the tie matrix's group count still varies — that
+    path may recompile per distinct group count.)
+    """
+    n_c = problem.R.shape[0]
+    n_p = problem.points.shape[0]
+    n_o = problem.obs_cam.shape[0]
+    cp, pp, op = _pow2(n_c), _pow2(n_p), _pow2(n_o)
+
+    free = _free_mask(problem)
+    fscale0 = np.asarray(
+        problem.fscale if problem.fscale is not None else np.zeros(n_c),
+        np.float32,
     )
+    R, t, points = problem.R, problem.t, problem.points
+    focal_group = problem.focal_group
+    if cp > n_c:
+        R = np.concatenate([R, np.tile(np.eye(3), (cp - n_c, 1, 1))])
+        t = np.concatenate([t, np.zeros((cp - n_c, 3))])
+        fscale0 = np.concatenate([fscale0, np.zeros(cp - n_c, np.float32)])
+        free = np.concatenate([free, np.zeros((cp - n_c, CAM_DOF), np.float32)])
+        if focal_group is not None:
+            pad_ids = int(np.max(focal_group)) + 1 + np.arange(cp - n_c)
+            focal_group = np.concatenate([np.asarray(focal_group), pad_ids])
+    if pp > n_p:
+        points = np.concatenate([points, np.zeros((pp - n_p, 3))])
+
+    # Groups over REAL observations only (padded observations contribute
+    # zero to the camera block and are absent from the point blocks).
+    pt_idx, pt_valid = _group_by_point(problem.obs_pt, pp)
+    vp = _pow2(pt_idx.shape[1])
+    if vp > pt_idx.shape[1]:
+        pad = np.full((pp, vp - pt_idx.shape[1]), -1, np.int64)
+        pt_idx = np.concatenate([pt_idx, pad], axis=1)
+        pt_valid = np.concatenate([pt_valid, pad >= 0], axis=1)
+
+    obs_cam, obs_pt = problem.obs_cam, problem.obs_pt
+    obs_uv, obs_focal = problem.obs_uv, problem.obs_focal
+    if op > n_o:
+        k = op - n_o
+        obs_cam = np.concatenate([obs_cam, np.full(k, cp - 1, obs_cam.dtype)])
+        obs_pt = np.concatenate([obs_pt, np.full(k, pp - 1, obs_pt.dtype)])
+        obs_uv = np.concatenate([obs_uv, np.zeros((k, 2))])
+        obs_focal = np.concatenate([obs_focal, np.zeros(k)])
+
     R, t, fscale, X, cost = ba_iterate(
-        jnp.asarray(problem.R),
-        jnp.asarray(problem.t),
+        jnp.asarray(R),
+        jnp.asarray(t),
         jnp.asarray(fscale0, dtype=jnp.float32),
-        jnp.asarray(problem.points),
-        jnp.asarray(problem.obs_cam),
-        jnp.asarray(problem.obs_pt),
-        jnp.asarray(problem.obs_uv),
-        jnp.asarray(problem.obs_focal),
-        jnp.asarray(_free_mask(problem)),
+        jnp.asarray(points),
+        jnp.asarray(obs_cam),
+        jnp.asarray(obs_pt),
+        jnp.asarray(obs_uv),
+        jnp.asarray(obs_focal),
+        jnp.asarray(free),
         jnp.asarray(pt_idx),
         jnp.asarray(pt_valid),
-        n_cameras=n_cameras,
+        n_cameras=cp,
         iterations=iterations,
         tie=(
-            jnp.asarray(_tie_matrix(problem.focal_group, _free_mask(problem)))
-            if problem.focal_group is not None and problem.refine_focal
+            jnp.asarray(_tie_matrix(focal_group, free))
+            if focal_group is not None and problem.refine_focal
             else None
         ),
     )
-    return np.asarray(R), np.asarray(t), np.asarray(fscale), np.asarray(X), float(cost)
+    return (
+        np.asarray(R)[:n_c],
+        np.asarray(t)[:n_c],
+        np.asarray(fscale)[:n_c],
+        np.asarray(X)[:n_p],
+        float(cost),
+    )
