@@ -216,6 +216,33 @@ class PANet(nn.Module):
         return disp[:b], disp[b:]
 
 
+def fold_normalize_variables(variables: Dict) -> Dict:
+    """Fold the ImageNet input normalization into conv1_1.
+
+    With y_c = x_c/(255*std_c) - mean_c/std_c, conv(y) = conv'(x) where
+    conv1_1's kernel divides by 255*std per INPUT channel and its bias
+    absorbs the mean shift.  The returned tree expects RAW [0, 255]
+    patches — the (B, 33, 33, 3) float32 normalize pass (an extra HBM
+    read+write over every patch) disappears from the hot path.
+    Composes with :func:`fold_bn_variables` in either order."""
+    params = dict(variables["params"])
+    bb = dict(params["backbone"])
+    conv = dict(bb["conv1_1"])
+    kernel = jnp.asarray(conv["kernel"], jnp.float32)  # (3, 3, 3, 64)
+    bias = jnp.asarray(conv["bias"], jnp.float32)
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    scale = 1.0 / (255.0 * std)  # per input channel
+    shift = mean / std
+    conv["kernel"] = kernel * scale[None, None, :, None]
+    conv["bias"] = bias - jnp.einsum("hwco,c->o", kernel, shift)
+    bb["conv1_1"] = conv
+    params["backbone"] = bb
+    out = dict(variables)
+    out["params"] = params
+    return out
+
+
 def fold_bn_variables(variables: Dict, eps: float = 1e-5) -> Dict:
     """Fold the eval-mode BatchNorm affines of the refine head into the
     preceding conv kernels and biases.

@@ -207,7 +207,12 @@ class TwoViewRefiner:
         # taken to be already folded (e.g. reloaded folded weights).
         if "batch_stats" in variables:
             variables = panet.fold_bn_variables(variables)
+        # Fold the ImageNet input normalization into conv1_1: the CNN entry
+        # points below feed RAW [0,255] patches (``_norm`` is identity),
+        # dropping one full-tensor elementwise pass per patch batch.
+        variables = panet.fold_normalize_variables(variables)
         self.variables = variables
+        _norm = lambda p: p  # noqa: E731 — see fold_normalize_variables
         self.batch_size = int(batch_size)
         self.model = panet.PANet(compute_dtype, folded=True)
 
@@ -215,8 +220,8 @@ class TwoViewRefiner:
         def _patch_cnn(variables, img1, img2, ij1, ij2, sym):
             p1 = extract_patches_separable(img1, ij1, PATCH_SIZE)
             p2 = extract_patches_separable(img2, ij2, PATCH_SIZE)
-            p1 = panet.normalize_patches(p1)
-            p2 = panet.normalize_patches(p2)
+            p1 = _norm(p1)
+            p2 = _norm(p2)
             if sym:
                 return _cnn_sym(self.model, variables, p1, p2)
             return _cnn_asym(self.model, variables, p1, p2)
@@ -265,8 +270,8 @@ class TwoViewRefiner:
             )
 
             def step(_, k):
-                ps = panet.normalize_patches(srcs[:, k])
-                pt = panet.normalize_patches(tgts[:, k])
+                ps = _norm(srcs[:, k])
+                pt = _norm(tgts[:, k])
                 return None, _cnn_asym(self.model, variables, ps, pt)
 
             _, disp = jax.lax.scan(step, None, jnp.arange(9))  # (9, 2N, 2)
@@ -306,7 +311,7 @@ class TwoViewRefiner:
             )  # (4N, 65, 65, 3)
             fmaps = self.model.apply(
                 variables,
-                panet.normalize_patches(crops),
+                _norm(crops),
                 method=lambda m, x: m.features(x),
             )  # (4N, 33, 33, C) — per-position L2 norm commutes with slicing
             n = ij1.shape[0]
@@ -348,10 +353,10 @@ class TwoViewRefiner:
             """The whole coarse-to-fine refinement as ONE device program:
             symmetric coarse pass feeds the scanned fine stage without any
             host round-trip."""
-            p1 = panet.normalize_patches(
+            p1 = _norm(
                 extract_patches_separable(im1, ij1 + o1, PATCH_SIZE)
             )
-            p2 = panet.normalize_patches(
+            p2 = _norm(
                 extract_patches_separable(im2, ij2 + o2, PATCH_SIZE)
             )
             c12, c21 = _cnn_sym(self.model, variables, p1, p2)
@@ -409,10 +414,10 @@ class TwoViewRefiner:
             ij1 = kp1[idx1][:, ::-1]  # (x, y) -> (i, j)
             ij2 = kp2[idx2][:, ::-1]
 
-            p1 = panet.normalize_patches(
+            p1 = _norm(
                 extract_patches_separable(im1, ij1 + o1, PATCH_SIZE)
             )
-            p2 = panet.normalize_patches(
+            p2 = _norm(
                 extract_patches_separable(im2, ij2 + o2, PATCH_SIZE)
             )
             c12, c21 = _cnn_sym(self.model, variables, p1, p2)
@@ -522,8 +527,8 @@ class TwoViewRefiner:
                 )
 
                 def step(_, k):
-                    ps = panet.normalize_patches(srcs[:, k])
-                    pt = panet.normalize_patches(tgts[:, k])
+                    ps = _norm(srcs[:, k])
+                    pt = _norm(tgts[:, k])
                     return None, _cnn_asym(self.model, variables, ps, pt)
 
                 _, disp = jax.lax.scan(step, None, jnp.arange(9))
@@ -540,7 +545,7 @@ class TwoViewRefiner:
                 )
                 fmaps = self.model.apply(
                     variables,
-                    panet.normalize_patches(crops),
+                    _norm(crops),
                     method=lambda m, x: m.features(x),
                 )
                 fsrc, ftgt = fmaps[: 2 * n], fmaps[2 * n :]
@@ -574,10 +579,10 @@ class TwoViewRefiner:
             stacks: one program refines a fixed-size batch of matches drawn
             from MANY pairs, so per-pair match counts never pad the CNN.
             Returns (B, 36) packed [grid12 (18), grid21 (18)]."""
-            p1 = panet.normalize_patches(
+            p1 = _norm(
                 extract_patches_separable(base, ij1 + ob1[:, None], PATCH_SIZE, img_idx=k1)
             )
-            p2 = panet.normalize_patches(
+            p2 = _norm(
                 extract_patches_separable(base, ij2 + ob2[:, None], PATCH_SIZE, img_idx=k2)
             )
             c12, c21 = _cnn_sym(self.model, variables, p1, p2)

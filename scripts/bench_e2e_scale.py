@@ -139,11 +139,18 @@ def main():
                 os.remove(os.path.join(image_dir, f))
         _clean_run_artifacts(root, "sift")
 
+        print(f"[e2e] repeat {rep}: extracting...", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         n_feats = extract_features.extract_directory(
             image_dir, "sift", max_features=args.max_features, verbose=False
         )
         stage_runs.setdefault("sift_extract", []).append(time.perf_counter() - t0)
+        print(
+            f"[e2e] repeat {rep}: extract {stage_runs['sift_extract'][-1]:.1f}s,"
+            " running pipeline...",
+            file=sys.stderr,
+            flush=True,
+        )
 
         t0 = time.perf_counter()
         results = benchmark.run_eth(
@@ -158,6 +165,11 @@ def main():
         stage_runs.setdefault("total_pipeline", []).append(time.perf_counter() - t0)
         for s in results["timing"]:
             stage_runs.setdefault(s["span"], []).append(s["ms"] / 1e3)
+        print(
+            f"[e2e] repeat {rep}: pipeline {stage_runs['total_pipeline'][-1]:.1f}s",
+            file=sys.stderr,
+            flush=True,
+        )
 
         if args.sfm:
             root_sfm = root + f"_sfm{rep}"
