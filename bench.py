@@ -74,7 +74,7 @@ def flops_per_match(fine_mode: str = "grid") -> float:
 def _load_best_checkpoint():
     """Use the trained flow-CNN weights when available (production path)."""
     here = os.path.dirname(os.path.abspath(__file__))
-    for name in ("panet_real.msgpack", "panet_cpu.msgpack"):
+    for name in ("panet_holdout.msgpack", "panet_real.msgpack", "panet_cpu.msgpack"):
         path = os.path.join(here, "weights", name)
         if os.path.exists(path):
             from lfr_tpu.models.checkpoint import load_variables
