@@ -112,11 +112,13 @@ class IncrementalMapper:
 
         # Verified matches per pair + CSR correspondence graph over gids.
         self.pair_matches: Dict[Tuple[int, int], np.ndarray] = {}
+        self.pair_config: Dict[Tuple[int, int], int] = {}
         src_all, dst_all = [], []
-        for id1, id2, m, _ in database.all_two_view_geometries():
+        for id1, id2, m, config in database.all_two_view_geometries():
             if m.shape[0] == 0:
                 continue
             self.pair_matches[(id1, id2)] = m
+            self.pair_config[(id1, id2)] = int(config)
             g1 = self.base[id1] + m[:, 0].astype(np.int64)
             g2 = self.base[id2] + m[:, 1].astype(np.int64)
             src_all.extend([g1, g2])
@@ -178,6 +180,19 @@ class IncrementalMapper:
         del self.track_imgs[pid]
         self._pid_live[pid] = False
 
+    def _reset_reconstruction(self) -> None:
+        """Discard all reconstruction state (used to retry initialization
+        from a different pair)."""
+        self.registered = []
+        self.registered_mask[:] = False
+        self.R = {}
+        self.t = {}
+        self.points = {}
+        self.track = {}
+        self.track_imgs = {}
+        self.pid_of_g[:] = -1
+        self._pid_live[:] = False
+
     # ------------------------------------------------------------------
     # Initialization
     # ------------------------------------------------------------------
@@ -190,20 +205,31 @@ class IncrementalMapper:
         x2 = self.norm_uv[id2][m[:, 1]]
 
         # RANSAC essential (8-point on normalized coords = E), Sampson
-        # threshold scaled from pixels to normalized units.
+        # threshold scaled from pixels to normalized units.  Inputs pad to
+        # a power-of-two bucket (valid mask) so the dozens of candidate
+        # pairs tried on dense rigs reuse one compiled program instead of
+        # recompiling per match count (seconds each through the remote
+        # TPU compiler).
         from .verify import _ransac_fundamental
 
         thr = self.opt.max_reproj_error_px / max(
             self.focal[id1], self.focal[id2]
         )
+        n = m.shape[0]
+        nb = max(64, 1 << (n - 1).bit_length())
+        x1p = np.zeros((nb, 2), np.float32)
+        x2p = np.zeros((nb, 2), np.float32)
+        x1p[:n], x2p[:n] = x1, x2
+        valid = np.zeros(nb, bool)
+        valid[:n] = True
         E, inl, n_inl = _ransac_fundamental(
-            jnp.asarray(x1, jnp.float32),
-            jnp.asarray(x2, jnp.float32),
-            jnp.ones(m.shape[0], bool),
+            jnp.asarray(x1p),
+            jnp.asarray(x2p),
+            jnp.asarray(valid),
             jax.random.PRNGKey(0),
             max_error=thr,
         )
-        inl = np.asarray(inl)
+        inl = np.asarray(inl)[:n]
         if int(n_inl) < self.opt.init_min_num_inliers:
             return False
         m = m[inl]
@@ -213,34 +239,41 @@ class IncrementalMapper:
         )
 
         best = None
+        T = m.shape[0]
+        # Pad the cheirality triangulation to the same pow2 bucket so all
+        # candidate pairs share compiled programs.
+        Tb = max(64, 1 << (T - 1).bit_length())
+        uv = np.zeros((Tb, 2, 2), np.float64)
+        uv[:T] = np.stack([x1, x2], axis=1)
+        mask = np.zeros((Tb, 2), bool)
+        mask[:T] = True
         for R, t in geometry.decompose_essential(jnp.asarray(E)):
             R = np.asarray(R)
             t = np.asarray(t)
             P1 = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
             P2 = np.concatenate([R, t[:, None]], axis=1)
-            T = m.shape[0]
-            P = np.stack([np.tile(P1, (T, 1, 1)), np.tile(P2, (T, 1, 1))], axis=1)
-            uv = np.stack([x1, x2], axis=1)
+            P = np.stack([np.tile(P1, (Tb, 1, 1)), np.tile(P2, (Tb, 1, 1))], axis=1)
             X = np.asarray(
                 geometry.triangulate_dlt_batch(
-                    jnp.asarray(P), jnp.asarray(uv), jnp.ones((T, 2), bool)
+                    jnp.asarray(P), jnp.asarray(uv), jnp.asarray(mask)
                 )
-            )
+            )[:T]
             z1 = X[:, 2]
             z2 = (X @ R.T + t)[:, 2]
-            good = (z1 > 0) & (z2 > 0)
+            good = np.isfinite(X).all(axis=1) & (z1 > 0) & (z2 > 0)
             if best is None or good.sum() > best[3].sum():
                 best = (R, t, X, good)
         R, t, X, good = best
         if good.sum() < self.opt.init_min_num_inliers:
             return False
-        # Triangulation angle check.
+        # Triangulation angle check (host math; shapes vary per pair).
         c2 = -R.T @ t
-        ang = np.asarray(
-            geometry.triangulation_angles(
-                jnp.asarray(X[good]), jnp.zeros(3), jnp.asarray(c2)
-            )
+        d1 = X[good]
+        d2 = X[good] - c2
+        cosang = np.sum(d1 * d2, axis=1) / np.maximum(
+            np.linalg.norm(d1, axis=1) * np.linalg.norm(d2, axis=1), 1e-12
         )
+        ang = np.arccos(np.clip(cosang, -1.0, 1.0))
         if np.median(ang) < np.deg2rad(self.opt.init_min_tri_angle_deg):
             return False
 
@@ -400,15 +433,23 @@ class IncrementalMapper:
         remap = {k: i for i, k in enumerate(uniq)}
         local = np.array([remap[k] for k in oid_idx])
 
+        # Pow2 padding: one compiled DLT program across all registrations
+        # (shapes otherwise vary per image and recompile remotely).
+        nb = max(64, 1 << (n - 1).bit_length())
         P1 = np.concatenate([self.R[iid], self.t[iid][:, None]], axis=1)
         P2 = np.concatenate([Ro[local], to[local][:, :, None]], axis=2)
-        P = np.stack([np.tile(P1, (n, 1, 1)), P2], axis=1)
-        uv = np.stack([self.uv_g[src], self.uv_g[nbr]], axis=1)
+        P = np.zeros((nb, 2, 3, 4))
+        P[:, 0] = P1
+        P[:n, 1] = P2
+        uv = np.zeros((nb, 2, 2))
+        uv[:n] = np.stack([self.uv_g[src], self.uv_g[nbr]], axis=1)
+        mask = np.zeros((nb, 2), bool)
+        mask[:n] = True
         X = np.asarray(
             geometry.triangulate_dlt_batch(
-                jnp.asarray(P), jnp.asarray(uv), jnp.ones((n, 2), bool)
+                jnp.asarray(P), jnp.asarray(uv), jnp.asarray(mask)
             )
-        )
+        )[:n]
 
         # Vectorized gating.
         ok = np.isfinite(X).all(axis=1)
@@ -651,27 +692,63 @@ class IncrementalMapper:
     # ------------------------------------------------------------------
 
     def reconstruct(self, verbose: bool = True) -> Optional[model_mod.Model]:
-        # Initialization: try pairs by decreasing inlier count.
+        # Initialization: decreasing inlier count, but NON-PLANAR pairs
+        # first — verification classifies low-parallax / planar pairs as
+        # CONFIG_PLANAR_OR_PANORAMIC (sfm/verify.py's COLMAP-style H/F
+        # test), and on dense rigs (100-camera arcs) the match-count
+        # ranking alone is dominated by hundreds of near-adjacent pairs
+        # whose baseline can never pass the triangulation-angle gate.
+        from .verify import CONFIG_PLANAR_OR_PANORAMIC
+
         ranked = sorted(self.pair_matches.items(), key=lambda kv: -kv[1].shape[0])
+        nonplanar, planar = [], []
+        for kv in ranked:
+            if self.pair_config.get(kv[0]) == CONFIG_PLANAR_OR_PANORAMIC:
+                planar.append(kv)
+            else:
+                nonplanar.append(kv)
+        # Stratified candidate order: the top of the match-count ranking,
+        # plus picks spread across the WHOLE ranking — on dense rigs the
+        # top is saturated by near-adjacent (small-baseline) pairs that
+        # can never pass the triangulation-angle gate, while wide-baseline
+        # pairs (fewer matches) live far down the list.
+        idx = list(range(min(12, len(nonplanar))))
+        if len(nonplanar) > 12:
+            stride = max(1, len(nonplanar) // 48)
+            idx += list(range(0, len(nonplanar), stride))[:48]
+        candidates = [nonplanar[i] for i in sorted(set(idx))] + planar[:10]
+
+        first_iid = None
         initialized = False
-        for (id1, id2), _ in ranked[:20]:
-            if self._try_initialize(id1, id2):
-                initialized = True
-                if verbose:
-                    print(
-                        f"[mapper] initialized with ({self.image_info[id1]}, "
-                        f"{self.image_info[id2]}), {len(self.points)} points"
-                    )
-                break
+        for (id1, id2), _ in candidates:
+            if not self._try_initialize(id1, id2):
+                continue
+            self._run_ba()
+            self._filter_points()
+            # An init pair whose structure cannot register ANY third image
+            # is a dead end (narrow baseline / bas-relief skew): discard
+            # and try the next candidate (colmap retries init the same way).
+            first_iid = self._register_next()
+            if first_iid is None and len(self.image_info) > 2:
+                self._reset_reconstruction()
+                continue
+            initialized = True
+            if verbose:
+                print(
+                    f"[mapper] initialized with ({self.image_info[id1]}, "
+                    f"{self.image_info[id2]}), {len(self.points)} points"
+                )
+            break
         if not initialized:
             return None
 
-        self._run_ba()
-        self._filter_points()
-
         since_global = 0
+        pending_first = first_iid
         while True:
-            iid = self._register_next()
+            if pending_first is not None:
+                iid, pending_first = pending_first, None
+            else:
+                iid = self._register_next()
             if iid is None:
                 break
             n_new = self._triangulate_new(iid)
