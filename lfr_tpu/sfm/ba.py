@@ -215,23 +215,26 @@ def schur_step(
     rhs_contrib = jnp.einsum("pvac,pc->pva", ECi, g_p)  # (P, V, d)
 
     # Schur pairing E C^-1 E^T over all (v, w) observation pairs of each
-    # point.  The V axis is the true max track length, so the pairing is
-    # exact; chunk its first axis to bound peak memory (P*vc*V*d*d
-    # instead of P*V^2*d*d).
-    S = jnp.zeros((n_cameras, n_cameras, d, d))
-    n_v = cam_g.shape[1]
-    vc = 8
-    for v0 in range(0, n_v, vc):
-        ECi_c = ECi[:, v0 : v0 + vc]                      # (P, vc', d, 3)
-        valid_c = pt_obs_valid[:, v0 : v0 + vc]
-        cam_c = cam_g[:, v0 : v0 + vc]
-        Sc = jnp.einsum("pvac,pwbc->pvwab", ECi_c, E)     # (P, vc', V, d, d)
-        pv = (valid_c[:, :, None] & pt_obs_valid[:, None, :])[..., None, None]
-        ca = jnp.broadcast_to(cam_c[:, :, None], Sc.shape[:3])
-        cb = jnp.broadcast_to(cam_g[:, None, :], Sc.shape[:3])
-        S = S.at[ca.reshape(-1), cb.reshape(-1)].add(
-            (-Sc * pv).reshape(-1, d, d)
-        )
+    # point, computed by aggregating each point's blocks PER CAMERA first
+    # (G = sum_v ECi, H = sum_w E grouped by observing camera) and
+    # contracting once: S[ca, cb] -= sum_p G[p, ca] @ H[p, cb]^T — exact
+    # for arbitrary track lengths (every (v, w) pair appears in exactly
+    # one (ca, cb) cell).  The former explicit (P, vc, V, d, d) pairing
+    # tensor grew with V^2 and exceeded HBM at 100 cameras with
+    # track-completed ~100-observation tracks.
+    n_p = Cp_inv.shape[0]
+    vmask = pt_obs_valid[..., None, None]
+    flat_ids = (
+        jnp.arange(n_p, dtype=jnp.int32)[:, None] * n_cameras
+        + jnp.where(pt_obs_valid, cam_g, 0).astype(jnp.int32)
+    ).reshape(-1)
+    G = jax.ops.segment_sum(
+        (ECi * vmask).reshape(-1, d, 3), flat_ids, n_p * n_cameras
+    ).reshape(n_p, n_cameras, d, 3)
+    H = jax.ops.segment_sum(
+        (E * vmask).reshape(-1, d, 3), flat_ids, n_p * n_cameras
+    ).reshape(n_p, n_cameras, d, 3)
+    S = -jnp.einsum("pxac,pybc->xyab", G, H)
     S = S.at[jnp.arange(n_cameras), jnp.arange(n_cameras)].add(B)
 
     rhs = g_c - jax.ops.segment_sum(
