@@ -114,8 +114,35 @@ _BRUTE_FORCE_MIN_PAIRS = int(1e8)
 _DEV_CHUNK = 4096
 
 #: id(host array) -> (host array ref, true length, device blocks).  The
-#: host reference pins the id; entries are few (scan + recent clouds).
+#: host reference pins the id; eviction is size-aware (see
+#: _CACHE_BUDGET_BYTES) and frees evicted device blocks explicitly.
 _device_blocks_cache: Dict[int, tuple] = {}
+
+#: Combined host+device byte budget for _device_blocks_cache.  Scan
+#: surface samples reach tens of millions of points (~1 GB host + ~0.5 GB
+#: padded device f32 copy); bounding by footprint instead of entry count
+#: keeps one big scan resident without pinning several.
+_CACHE_BUDGET_BYTES = int(3e9)
+
+
+def _cache_entry_bytes(entry: tuple) -> int:
+    arr, _n, blocks = entry
+    return int(arr.nbytes) + int(np.prod(blocks.shape)) * 4
+
+
+def _evict_to_budget(incoming_bytes: int) -> None:
+    """Drop oldest entries until the cache + incoming fits the budget,
+    deleting evicted device blocks instead of waiting for GC."""
+    total = sum(_cache_entry_bytes(e) for e in _device_blocks_cache.values())
+    for key in list(_device_blocks_cache):
+        if total + incoming_bytes <= _CACHE_BUDGET_BYTES:
+            break
+        entry = _device_blocks_cache.pop(key)
+        total -= _cache_entry_bytes(entry)
+        try:
+            entry[2].delete()
+        except Exception:
+            pass
 
 
 def _device_blocks(arr: np.ndarray):
@@ -138,8 +165,7 @@ def _device_blocks(arr: np.ndarray):
     nb = 1 << max(0, (-(-n // _DEV_CHUNK) - 1)).bit_length()
     a = np.pad(a, ((0, nb * _DEV_CHUNK - n), (0, 0)), constant_values=1e6)
     blocks = jnp.asarray(a.reshape(-1, _DEV_CHUNK, 3))
-    if len(_device_blocks_cache) > 6:
-        _device_blocks_cache.clear()
+    _evict_to_budget(int(arr.nbytes) + a.nbytes)
     _device_blocks_cache[key] = (arr, n, blocks)
     return n, blocks
 

@@ -170,10 +170,16 @@ def sample_batch(
         from ..ops.patches import patch_offsets
 
         h, w = img.shape[:2]
-        # Margin covers patch half-extent (16.5) + max displacement, so
-        # the host sampler never needs reflection.
+        # Margin covers patch half-extent + max displacement (derived, not
+        # hardcoded — a caller-supplied max_disp_px larger than the default
+        # must still leave the host sampler in-bounds, clamping would
+        # silently corrupt the labels).
+        margin = float(np.ceil(PATCH_SIZE / 2.0 + max_disp_px)) + 1.0
+        if h <= 2 * margin or w <= 2 * margin:
+            continue
         centers = np.stack(
-            [rng.uniform(26, h - 26, n), rng.uniform(26, w - 26, n)], axis=1
+            [rng.uniform(margin, h - margin, n), rng.uniform(margin, w - margin, n)],
+            axis=1,
         )
         delta_px = rng.uniform(-max_disp_px, max_disp_px, (n, 2))
         offs = np.asarray(patch_offsets(PATCH_SIZE))
@@ -226,7 +232,13 @@ def sample_batch_warped(
     from ..ops.patches import patch_offsets, sample_bilinear
 
     offs = np.asarray(patch_offsets(PATCH_SIZE))  # (ps, ps, 2)
-    margin = 56  # covers patch half-extent * max scale + displacement
+    # Margin covers the rotated+scaled patch half-extent plus the max
+    # displacement (derived from the actual arguments so larger warps or
+    # displacements never silently clamp at image edges): a rotation by
+    # up to max_rot scales the per-axis offset reach by cos+|sin|.
+    half = PATCH_SIZE / 2.0
+    reach = half * scale_range[1] * (np.cos(max_rot) + abs(np.sin(max_rot)))
+    margin = float(np.ceil(reach + max_disp_px)) + 2.0
     refs, tgts, deltas = [], [], []
     remaining = batch_size
     img_ids = rng.integers(0, len(images), batch_size)
@@ -447,9 +459,21 @@ def train(
         tgt_all = jnp.asarray(np.stack([b[1] for b in batches]))
         delta_all = jnp.asarray(np.stack([b[2] for b in batches]))
         state, losses = chunk_fn(state, ref_all, tgt_all, delta_all)
+        losses_np = np.asarray(losses)
+        # Print the loss at each crossed log_every boundary from the
+        # per-step losses the scan returns, so log_every < chunk keeps its
+        # granularity (and step 1 prints on the first chunk).
+        if log_every:
+            for s in range(step + 1, step + k + 1):
+                if s == 1 or s % log_every == 0:
+                    print(
+                        f"[train] step {s} loss {float(losses_np[s - step - 1]):.5f}",
+                        flush=True,
+                    )
         step += k
-        if log_every and (step - k) // log_every != step // log_every:
-            print(f"[train] step {step} loss {float(losses[-1]):.5f}", flush=True)
+        # Eval fires on chunk-boundary crossings: its granularity is
+        # floor-ed to the chunk size (evaluating mid-chunk would require
+        # splitting the scan; not worth it for a periodic validation probe).
         if val_batch is not None and eval_every and (step - k) // eval_every != step // eval_every:
             err = evaluate_px_error(
                 {"params": state.params, "batch_stats": state.batch_stats},

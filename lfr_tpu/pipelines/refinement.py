@@ -203,14 +203,17 @@ class TwoViewRefiner:
             variables = panet.init_params(jax.random.PRNGKey(rng_seed), compute_dtype)
         # Inference-only: fold the head's eval-mode BatchNorm into the conv
         # weights (measured 56.5% -> 68.5% of bf16 peak on the refine head,
-        # scripts/bench_head_variants.py).  A tree without batch_stats is
-        # taken to be already folded (e.g. reloaded folded weights).
+        # scripts/bench_head_variants.py), then fold the ImageNet input
+        # normalization into conv1_1: the CNN entry points below feed RAW
+        # [0,255] patches (``_norm`` is identity), dropping one full-tensor
+        # elementwise pass per patch batch.  A tree without batch_stats is
+        # taken to be already FULLY folded (BN + normalize, e.g. reloaded
+        # folded weights) — the normalize fold is gated on the BN fold so it
+        # is never applied twice (double-scaling conv1_1 would silently
+        # corrupt every refinement).
         if "batch_stats" in variables:
             variables = panet.fold_bn_variables(variables)
-        # Fold the ImageNet input normalization into conv1_1: the CNN entry
-        # points below feed RAW [0,255] patches (``_norm`` is identity),
-        # dropping one full-tensor elementwise pass per patch batch.
-        variables = panet.fold_normalize_variables(variables)
+            variables = panet.fold_normalize_variables(variables)
         self.variables = variables
         _norm = lambda p: p  # noqa: E731 — see fold_normalize_variables
         self.batch_size = int(batch_size)
