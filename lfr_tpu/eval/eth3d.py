@@ -316,14 +316,184 @@ def _fractions_within(
     return [float(c) / nq for c in counts]
 
 
+# ---------------------------------------------------------------------------
+# Scan-sample visibility (z-buffer approximation)
+# ---------------------------------------------------------------------------
+#
+# The official ETH3DMultiViewEvaluation accounts for scan occlusion /
+# free-space when scoring (reference: eth/benchmark.py:138-149 runs the
+# external binary against the laser-scan ground truth).  Here the analog:
+# a scan surface sample participates in COMPLETENESS only when it is
+# visible in at least ``min_views`` calibrated ground-truth views, where
+# visibility is a point-splat z-buffer test — project every sample into
+# each view, keep the nearest depth per coarse pixel bin, and accept
+# samples within a relative depth tolerance of that minimum.  Accuracy
+# keeps the full scan as its corpus (any true surface counts as correct).
+# Distortion is ignored (valid for ETH3D's undistorted DSLR calibration
+# and the synthetic pinhole rigs); results carry "+visibility" in
+# ``evaluation_mode``.
+
+#: Z-buffer bin size in pixels (coarse: silhouette bleed of one bin is an
+#: accepted approximation; official scan observability is not available).
+_VIS_GRID_PX = 8
+
+#: Only every k-th sample splats into the depth buffer (the surface is
+#: dense, so a 4x subsample still fills every covered bin); ALL samples
+#: are depth-tested.  Cuts the scatter cost 4x.
+_VIS_DEPTH_SUBSAMPLE = 4
+
+#: A sample passes the depth test within this relative tolerance of the
+#: bin's minimum depth (absorbs splat discretization on slanted surfaces).
+_VIS_DEPTH_TOL_REL = 0.02
+
+_vis_jitted = None
+
+
+def _visibility_impl(pts, Rs, ts, intr, wh, grid_w: int, n_bins: int, sub: int):
+    """(N, 3) points x (C, ...) cameras -> (N,) int32 view counts."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    def one_cam(views, cam):
+        R, t, k4, whc = cam
+        c = pts @ R.T + t  # (N, 3) camera coords
+        z = c[:, 2]
+        front = z > 1e-9
+        zs = jnp.where(front, z, 1.0)
+        px = k4[0] * c[:, 0] / zs + k4[2]
+        py = k4[1] * c[:, 1] / zs + k4[3]
+        gx = jnp.floor(px / _VIS_GRID_PX).astype(jnp.int32)
+        gy = jnp.floor(py / _VIS_GRID_PX).astype(jnp.int32)
+        wg = jnp.ceil(whc[0] / _VIS_GRID_PX).astype(jnp.int32)
+        hg = jnp.ceil(whc[1] / _VIS_GRID_PX).astype(jnp.int32)
+        inb = front & (gx >= 0) & (gy >= 0) & (gx < wg) & (gy < hg)
+        bins = jnp.where(inb, gy * grid_w + gx, n_bins)
+        depth = jnp.full((n_bins,), jnp.inf, jnp.float32)
+        depth = depth.at[bins[::sub]].min(
+            jnp.where(inb, z, jnp.inf)[::sub].astype(jnp.float32), mode="drop"
+        )
+        dmin = depth.at[jnp.minimum(bins, n_bins - 1)].get(mode="fill", fill_value=jnp.inf)
+        visible = inb & (z <= dmin * (1.0 + _VIS_DEPTH_TOL_REL) + 1e-9)
+        return views + visible.astype(jnp.int32), None
+
+    views0 = jnp.zeros(pts.shape[0], jnp.int32)
+    views, _ = lax.scan(one_cam, views0, (Rs, ts, intr, wh))
+    return views
+
+
+def scan_visibility_mask(
+    scan: np.ndarray, model, min_views: int = 1
+) -> np.ndarray:
+    """(N,) bool: scan samples visible in >= ``min_views`` model views.
+
+    ``model`` is an ``io.colmap_model.Model`` (ground-truth calibration;
+    poses world-to-camera).  Pinhole projection from the calibration
+    matrix; distortion terms are not applied."""
+    global _vis_jitted
+    import jax
+    import jax.numpy as jnp
+
+    from ..io.colmap_model import qvec_to_rotmat
+    from ..sfm.cameras import calibration_matrix
+
+    images = sorted(model.images.values(), key=lambda im: im.image_id)
+    if not images or scan.shape[0] == 0:
+        return np.ones(scan.shape[0], bool)
+    Rs = np.stack([qvec_to_rotmat(im.qvec) for im in images]).astype(np.float32)
+    ts = np.stack([im.tvec for im in images]).astype(np.float32)
+    intr, wh = [], []
+    for im in images:
+        cam = model.cameras[im.camera_id]
+        K = calibration_matrix(cam)
+        intr.append([K[0, 0], K[1, 1], K[0, 2], K[1, 2]])
+        wh.append([cam.width, cam.height])
+    intr = np.asarray(intr, np.float32)
+    wh = np.asarray(wh, np.float32)
+
+    # Pad the camera axis to a power of two (w=h=0 dummies see nothing) so
+    # scenes with different view counts reuse one compiled program.
+    c = len(images)
+    cb = max(8, 1 << (c - 1).bit_length())
+    pad = cb - c
+    if pad:
+        Rs = np.concatenate([Rs, np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))])
+        ts = np.concatenate([ts, np.zeros((pad, 3), np.float32)])
+        intr = np.concatenate([intr, np.ones((pad, 4), np.float32)])
+        wh = np.concatenate([wh, np.zeros((pad, 2), np.float32)])
+
+    grid_w = int(np.ceil(wh[:, 0].max() / _VIS_GRID_PX))
+    grid_h = int(np.ceil(wh[:, 1].max() / _VIS_GRID_PX))
+    # Bucket the bin count (static shape) for cross-scene program reuse.
+    n_bins = 1 << int(max(grid_w * grid_h, 1) - 1).bit_length()
+
+    n, blocks = _device_blocks(np.ascontiguousarray(scan, np.float32))
+    pts = blocks.reshape(-1, 3)
+
+    if _vis_jitted is None:
+        _vis_jitted = jax.jit(
+            _visibility_impl, static_argnames=("grid_w", "n_bins", "sub")
+        )
+    views = np.asarray(
+        _vis_jitted(
+            pts,
+            jnp.asarray(Rs),
+            jnp.asarray(ts),
+            jnp.asarray(intr),
+            jnp.asarray(wh),
+            grid_w=grid_w,
+            n_bins=n_bins,
+            sub=_VIS_DEPTH_SUBSAMPLE,
+        )
+    )[:n]
+    return views >= min_views
+
+
+#: (scan path key, model path, model mtime, min_views) -> visible scan
+#: array (kept so _device_blocks reuses its padded device copy across the
+#: ref and raw evaluations of one benchmark run).
+_visible_scan_cache: Dict[tuple, np.ndarray] = {}
+
+
+def _visible_scan_cached(
+    scan: np.ndarray, ground_truth: str, gt_model_path: str, min_views: int
+) -> np.ndarray:
+    key = (
+        os.path.abspath(ground_truth),
+        os.path.getmtime(ground_truth),
+        os.path.abspath(gt_model_path),
+        min_views,
+    )
+    hit = _visible_scan_cache.get(key)
+    if hit is not None:
+        return hit
+    from ..io.colmap_model import read_model
+
+    mask = scan_visibility_mask(scan, read_model(gt_model_path), min_views)
+    visible = np.ascontiguousarray(scan[mask])
+    _visible_scan_cache.clear()
+    _visible_scan_cache[key] = visible
+    return visible
+
+
 def evaluate_point_cloud(
     reconstruction: np.ndarray,
     scan: np.ndarray,
     tolerances: Sequence[float] = ETH3D_TOLERANCES,
     mode: str = "vertex",
+    scan_completeness: np.ndarray = None,
 ) -> Dict[str, List[float]]:
-    """Accuracy/completeness/F1 at each tolerance."""
-    if reconstruction.shape[0] == 0 or scan.shape[0] == 0:
+    """Accuracy/completeness/F1 at each tolerance.
+
+    ``scan_completeness`` (default: ``scan``) is the query set for the
+    completeness direction — callers with a visibility mask pass the
+    visible subset here while accuracy keeps the full scan corpus."""
+    if scan_completeness is None:
+        scan_completeness = scan
+    if (
+        reconstruction.shape[0] == 0
+        or scan.shape[0] == 0
+        or scan_completeness.shape[0] == 0
+    ):
         z = [0.0] * len(tolerances)
         return {
             "tolerances": list(tolerances),
@@ -334,7 +504,7 @@ def evaluate_point_cloud(
         }
 
     accuracies = _fractions_within(reconstruction, scan, tolerances)
-    completenesses = _fractions_within(scan, reconstruction, tolerances)
+    completenesses = _fractions_within(scan_completeness, reconstruction, tolerances)
     f1s = [
         2 * a * c / (a + c) if (a + c) > 0 else 0.0
         for a, c in zip(accuracies, completenesses)
@@ -353,14 +523,30 @@ def evaluate_ply(
     ground_truth: str,
     tolerances: Sequence[float] = ETH3D_TOLERANCES,
     surface_spacing: float = SURFACE_SPACING,
+    gt_model_path: str = None,
+    visibility_min_views: int = 1,
 ) -> Dict[str, List[float]]:
     """Evaluate a reconstruction PLY against a scan (.mlp or .ply).
 
     Triangulated scans are surface-sampled; vertex-only clouds fall back
-    to point-to-vertex distances (flagged via ``evaluation_mode``)."""
+    to point-to-vertex distances (flagged via ``evaluation_mode``).
+
+    With ``gt_model_path`` (a COLMAP ground-truth calibration directory),
+    completeness is restricted to scan samples VISIBLE in at least
+    ``visibility_min_views`` calibrated views (z-buffer approximation of
+    the official evaluator's scan-observability handling); the mode
+    string gains a "+visibility" suffix."""
     rec = read_ply_xyz(reconstruction_ply)
     scan, mode = _load_scan_cached(ground_truth, surface_spacing)
-    return evaluate_point_cloud(rec, scan, tolerances, mode=mode)
+    scan_completeness = None
+    if gt_model_path is not None and os.path.isdir(gt_model_path):
+        scan_completeness = _visible_scan_cached(
+            scan, ground_truth, gt_model_path, visibility_min_views
+        )
+        mode = mode + "+visibility"
+    return evaluate_point_cloud(
+        rec, scan, tolerances, mode=mode, scan_completeness=scan_completeness
+    )
 
 
 #: One-entry cache of the sampled scan keyed by (path, mtime, spacing):

@@ -85,7 +85,16 @@ def run_eth(
             from ..eval import eth3d
 
             with spans.span(f"evaluation_{tag}"):
-                ev = eth3d.evaluate_ply(ply, scan_file)
+                # Completeness restricted to scan samples visible in the
+                # ground-truth views (z-buffer approximation of the
+                # official evaluator's scan-observability handling).
+                ev = eth3d.evaluate_ply(
+                    ply,
+                    scan_file,
+                    gt_model_path=os.path.join(
+                        dataset_path, "dslr_calibration_undistorted"
+                    ),
+                )
             results[tag]["evaluation"] = ev
             out_txt = os.path.join(output_path, f"{method_name}-{dataset_name}-{tag}.txt")
             with open(out_txt, "w") as fh:

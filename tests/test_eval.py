@@ -152,3 +152,65 @@ def test_device_count_path_matches_kdtree(monkeypatch):
     np.testing.assert_allclose(
         res_b2["completenesses"], res_k2["completenesses"], atol=1e-12
     )
+
+
+def _one_cam_model(f=100.0, w=200, h=200):
+    from lfr_tpu.io import colmap_model as cm
+
+    model = cm.Model()
+    model.cameras[1] = cm.Camera(1, "PINHOLE", w, h, np.array([f, f, w / 2, h / 2]))
+    model.images[1] = cm.Image(
+        1, np.array([1.0, 0, 0, 0]), np.zeros(3), 1, "cam0.png"
+    )
+    return model
+
+
+def test_visibility_mask_occlusion_and_frustum():
+    """Z-buffer visibility: a plane behind another is occluded; samples
+    outside the occluder's silhouette (or outside the frustum) follow the
+    frustum/depth rules; everything on the front plane is visible."""
+    step = 0.02
+    g = np.arange(-0.5, 0.5 + 1e-9, step)
+    xx, yy = np.meshgrid(g, g)
+    front = np.stack([xx.ravel(), yy.ravel(), np.full(xx.size, 2.0)], axis=1)
+    # Same lateral extent at z=4: projects INSIDE the front plane's
+    # silhouette -> occluded.
+    back_occ = np.stack([xx.ravel(), yy.ravel(), np.full(xx.size, 4.0)], axis=1)
+    # Far off-axis at z=4: projects outside the silhouette (clear of the
+    # one-bin splat bleed at the boundary) -> visible.
+    back_vis = np.stack(
+        [xx.ravel() + 2.0, yy.ravel(), np.full(xx.size, 4.0)], axis=1
+    )
+    # Behind the camera -> never visible.
+    behind = np.array([[0.0, 0.0, -3.0]])
+    scan = np.concatenate([front, back_occ, back_vis, behind])
+
+    from lfr_tpu.eval import eth3d
+
+    mask = eth3d.scan_visibility_mask(scan, _one_cam_model())
+    n = front.shape[0]
+    assert mask[:n].all(), "front plane must be fully visible"
+    assert not mask[n : 2 * n].any(), "occluded back samples must be masked"
+    assert mask[2 * n : 3 * n].mean() > 0.95, "off-silhouette samples visible"
+    assert not mask[-1], "behind-camera sample must be masked"
+
+
+def test_visibility_restricts_completeness_only():
+    """With a visibility subset, completeness is measured over visible
+    samples only while accuracy keeps the full scan corpus."""
+    rng = np.random.default_rng(0)
+    scan = rng.uniform(-1, 1, (4000, 3))
+    visible = scan[:1000]
+    # Reconstruction covers exactly the visible half-space region.
+    rec = visible + rng.normal(0, 1e-4, visible.shape)
+
+    from lfr_tpu.eval import eth3d
+
+    res = eth3d.evaluate_point_cloud(
+        rec, scan, tolerances=[0.01], mode="surface+visibility",
+        scan_completeness=visible,
+    )
+    assert res["completenesses"][0] == 1.0  # all visible samples covered
+    assert res["accuracies"][0] == 1.0  # rec points near true surface
+    res_full = eth3d.evaluate_point_cloud(rec, scan, tolerances=[0.01])
+    assert res_full["completenesses"][0] < 0.5  # unmasked denominator
