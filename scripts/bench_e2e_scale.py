@@ -132,6 +132,19 @@ def main():
     results = None
     sfm_results = None
     sfm_wall = []
+    probes = []
+
+    from lfr_tpu.utils.healthprobe import probe
+
+    def _probe(tag: str):
+        """Environment health snapshot (link latency + fixed matmul): a
+        stage outlier whose neighboring probes balloon too is an
+        environment stall, not a pipeline regression."""
+        p = dict(probe())
+        p["at"] = tag
+        probes.append(p)
+        print(f"[e2e] probe {tag}: {p}", file=sys.stderr, flush=True)
+
     for rep in range(max(1, args.repeat)):
         # Fresh start: drop extracted features and per-run artifacts.
         for f in os.listdir(image_dir):
@@ -140,6 +153,7 @@ def main():
         _clean_run_artifacts(root, "sift")
 
         print(f"[e2e] repeat {rep}: extracting...", file=sys.stderr, flush=True)
+        _probe(f"rep{rep}_pre_extract")
         t0 = time.perf_counter()
         n_feats = extract_features.extract_directory(
             image_dir, "sift", max_features=args.max_features, verbose=False
@@ -152,6 +166,7 @@ def main():
             flush=True,
         )
 
+        _probe(f"rep{rep}_pre_pipeline")
         t0 = time.perf_counter()
         results = benchmark.run_eth(
             root,
@@ -163,6 +178,7 @@ def main():
             batch_size=2048,
         )
         stage_runs.setdefault("total_pipeline", []).append(time.perf_counter() - t0)
+        _probe(f"rep{rep}_post_pipeline")
         for s in results["timing"]:
             stage_runs.setdefault(s["span"], []).append(s["ms"] / 1e3)
         print(
@@ -214,6 +230,7 @@ def main():
         },
         "stats": {tag: results[tag] for tag in ("ref", "raw") if tag in results},
         "features_extracted": n_feats,
+        "health_probes": probes,
     }
     if args.sfm and sfm_results is not None:
         payload["sfm_wall_s"] = _median_spread(sfm_wall)
