@@ -59,40 +59,47 @@ def import_features(
         for sol in protos.read_solution_file(solution_file):
             solutions[sol.image_name] = sol
 
+    from ..utils import timing
+
+    spans = timing.Spans()
     db = db_mod.ColmapDatabase(database_path)
     db.clear_features_and_matches()
     images = db.image_ids()
 
     sum_num_features = 0
     all_keypoints: Dict[int, np.ndarray] = {}
-    for image_name, image_id in images.items():
-        feats = features_io.load_features(os.path.join(image_path, image_name), method_name)
-        keypoints = feats.completed_keypoints().astype(np.float32)
-        if keypoints.shape[0] == 0:
-            keypoints = np.zeros((0, 4), np.float32)
-        keypoints = apply_solution(keypoints, solutions.get(image_name))
-        sum_num_features += keypoints.shape[0]
-        db.set_keypoints(image_id, keypoints)
-        all_keypoints[image_id] = keypoints
-    db.commit()
+    with spans.span("keypoints"):
+        for image_name, image_id in images.items():
+            feats = features_io.load_features(
+                os.path.join(image_path, image_name), method_name
+            )
+            keypoints = feats.completed_keypoints().astype(np.float32)
+            if keypoints.shape[0] == 0:
+                keypoints = np.zeros((0, 4), np.float32)
+            keypoints = apply_solution(keypoints, solutions.get(image_name))
+            sum_num_features += keypoints.shape[0]
+            db.set_keypoints(image_id, keypoints)
+            all_keypoints[image_id] = keypoints
+        db.commit()
 
     # Putative matches (dedup by pair id, reference: colmap_utils.py:159-191).
-    pairs = protos.read_matching_file(matches_file)
-    seen = set()
-    put_pairs: List[Tuple[int, int, np.ndarray]] = []
-    for pair in pairs:
-        if pair.image_name1 not in images or pair.image_name2 not in images:
-            continue
-        id1 = images[pair.image_name1]
-        id2 = images[pair.image_name2]
-        pid = db_mod.pair_id_from_image_ids(id1, id2)
-        if pid in seen:
-            continue
-        seen.add(pid)
-        m = pair.matches.astype(np.uint32)
-        db.set_matches(id1, id2, m)
-        put_pairs.append((id1, id2, m))
-    db.commit()
+    with spans.span("matches"):
+        pairs = protos.read_matching_file(matches_file)
+        seen = set()
+        put_pairs: List[Tuple[int, int, np.ndarray]] = []
+        for pair in pairs:
+            if pair.image_name1 not in images or pair.image_name2 not in images:
+                continue
+            id1 = images[pair.image_name1]
+            id2 = images[pair.image_name2]
+            pid = db_mod.pair_id_from_image_ids(id1, id2)
+            if pid in seen:
+                continue
+            seen.add(pid)
+            m = pair.matches.astype(np.uint32)
+            db.set_matches(id1, id2, m)
+            put_pairs.append((id1, id2, m))
+        db.commit()
 
     # Geometric verification (replaces `colmap matches_importer`).  Pairs
     # are verified in bucket-grouped device batches: one vmapped RANSAC
@@ -117,13 +124,17 @@ def import_features(
                     flush=True,
                 )
 
-    for id1, id2, m in put_pairs:
-        batcher.add((id1, id2), all_keypoints[id1], all_keypoints[id2], m.astype(np.int64))
-        _write(batcher.ready())
-    _write(batcher.flush())
-    db.commit()
+    with spans.span("verify"):
+        for id1, id2, m in put_pairs:
+            batcher.add(
+                (id1, id2), all_keypoints[id1], all_keypoints[id2], m.astype(np.int64)
+            )
+            _write(batcher.ready())
+        _write(batcher.flush())
+        db.commit()
 
     stats = db.matching_stats()
     stats["avg_num_features"] = sum_num_features / max(stats["num_images"], 1)
+    stats["timing"] = spans.report()
     db.close()
     return stats

@@ -44,27 +44,37 @@ def triangulation_pipeline(
         raise FileExistsError(
             f"The database file already exists: {paths.database_path}"
         )
+    from ..utils import timing
+
+    spans = timing.Spans()
     shutil.copyfile(os.path.join(dataset_path, "database.db"), paths.database_path)
 
     model_mod.generate_empty_model(paths.reference_model_path, paths.empty_model_path)
-    matching_stats = import_mod.import_features(
-        method_name,
-        paths.database_path,
-        paths.image_path,
-        matches_file,
-        solution_file,
-        verbose=verbose,
-    )
+    with spans.span("import_verify"):
+        matching_stats = import_mod.import_features(
+            method_name,
+            paths.database_path,
+            paths.image_path,
+            matches_file,
+            solution_file,
+            verbose=verbose,
+        )
 
     empty_model = model_mod.read_model(paths.empty_model_path)
     db = db_mod.ColmapDatabase(paths.database_path)
-    result = tri_mod.triangulate_model(db, empty_model, verbose=verbose)
+    with spans.span("triangulate"):
+        result = tri_mod.triangulate_model(db, empty_model, verbose=verbose)
     db.close()
 
-    model_mod.write_model(paths.model_path, result.model)
-    model_mod.write_ply(paths.ply_model_path, result.model.points3D)
+    with spans.span("write_model"):
+        model_mod.write_model(paths.model_path, result.model)
+        model_mod.write_ply(paths.ply_model_path, result.model.points3D)
 
-    stats = dict(matching=matching_stats, triangulation=result.stats)
+    stats = dict(
+        matching=matching_stats,
+        triangulation=result.stats,
+        timing=spans.report(),
+    )
     if verbose:
         print(json.dumps(stats))
     return stats
