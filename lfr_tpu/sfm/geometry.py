@@ -107,6 +107,12 @@ def fundamental_8point(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray = None) 
     A = jnp.stack([u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, ones], axis=1)
     if w is not None:
         A = A * w[:, None]
+    if A.shape[0] < 9:
+        # The null vector of a wide A is NOT in the thin SVD's row-space
+        # basis (svd of (8, 9) returns only 8 right vectors); pad with
+        # zero rows (A^T A unchanged) so vt is the full (9, 9) basis and
+        # vt[-1] is the actual minimal singular vector.
+        A = jnp.concatenate([A, jnp.zeros((9 - A.shape[0], 9), A.dtype)])
     _, _, vt = jnp.linalg.svd(A, full_matrices=False)
     F = vt[-1].reshape(3, 3)
     # Rank-2 enforcement.
@@ -139,6 +145,10 @@ def homography_dlt(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
     rows1 = jnp.stack([u1, v1, o, z, z, z, -u2 * u1, -u2 * v1, -u2], axis=1)
     rows2 = jnp.stack([z, z, z, u1, v1, o, -v2 * u1, -v2 * v1, -v2], axis=1)
     A = jnp.concatenate([rows1, rows2], axis=0)
+    if A.shape[0] < 9:
+        # See fundamental_8point: a wide A's null vector is outside the
+        # thin SVD's row-space basis; zero-row padding restores it.
+        A = jnp.concatenate([A, jnp.zeros((9 - A.shape[0], 9), A.dtype)])
     _, _, vt = jnp.linalg.svd(A, full_matrices=False)
     H = vt[-1].reshape(3, 3)
     H = jnp.linalg.inv(T2) @ H @ T1

@@ -224,3 +224,39 @@ def test_fisheye_matches_equidistant_model():
     r = np.linalg.norm(xy, axis=1)
     expect = xy * (np.arctan(r) / r)[:, None]
     np.testing.assert_allclose(d, expect, atol=1e-9)
+
+
+def test_minimal_solvers_exact_on_minimal_sets():
+    """The 8-point F and 4-point H minimal solvers must fit their own
+    minimal sets exactly: the null vector of a WIDE design matrix is not
+    in the thin SVD's row-space basis (svd of (8, 9) returns 8 right
+    vectors), so without zero-row padding the hypothesis stage of every
+    RANSAC returned garbage models (regression)."""
+    import jax.numpy as jnp
+
+    from lfr_tpu.sfm import geometry
+
+    rng = np.random.default_rng(1)
+    R = np.linalg.qr(rng.standard_normal((3, 3)))[0]
+    if np.linalg.det(R) < 0:
+        R[:, 0] *= -1
+    t = np.array([1.0, 0.2, 0.1])
+    K = np.array([[500, 0, 320], [0, 500, 240], [0, 0, 1.0]])
+    X = rng.uniform(-1, 1, (8, 3))
+    X[:, 2] += 5
+    x1 = X @ K.T
+    x1 = x1[:, :2] / x1[:, 2:]
+    x2 = (X @ R.T + t) @ K.T
+    x2 = x2[:, :2] / x2[:, 2:]
+    F = geometry.fundamental_8point(jnp.asarray(x1), jnp.asarray(x2))
+    err = np.asarray(geometry.sampson_error(F, jnp.asarray(x1), jnp.asarray(x2)))
+    assert err.max() < 1e-4, f"8-point minimal fit residual {err.max()}"
+
+    H_true = np.array([[1.02, 0.03, 5.0], [-0.02, 0.98, -3.0], [1e-4, -2e-4, 1.0]])
+    y1 = rng.uniform(0, 600, (4, 2))
+    y1h = np.concatenate([y1, np.ones((4, 1))], axis=1)
+    y2h = y1h @ H_true.T
+    y2 = y2h[:, :2] / y2h[:, 2:]
+    H = geometry.homography_dlt(jnp.asarray(y1), jnp.asarray(y2))
+    herr = np.asarray(geometry.homography_error(H, jnp.asarray(y1), jnp.asarray(y2)))
+    assert herr.max() < 1e-4, f"4-point minimal fit residual {herr.max()}"
