@@ -41,10 +41,13 @@ def probe() -> dict:
             )
         )
         np.asarray(st["mm"](st["x"]))  # compile outside the timed region
-        st["tiny"] = jnp.zeros((), jnp.float32)
+        st["n"] = 0
 
+    # Fresh scalar each call: a reused array caches its host value after
+    # the first transfer and would time a dict lookup, not the link.
+    st["n"] += 1
     t0 = time.perf_counter()
-    np.asarray(st["tiny"])
+    np.asarray(jnp.full((), st["n"], jnp.float32))
     roundtrip_ms = (time.perf_counter() - t0) * 1e3
 
     t0 = time.perf_counter()
