@@ -40,9 +40,17 @@ def exhaustive_pairs(images: Sequence[str]) -> List[Tuple[str, str]]:
 
 def sequential_pairs(images: Sequence[str], num_frames: int = 3) -> List[Tuple[str, str]]:
     """Pairs whose frame indices (parsed from ``NNN-*.ext`` basenames) are at
-    most ``num_frames`` apart (reference: create_sequential_matching_list.py:39-47)."""
+    most ``num_frames`` apart (reference: create_sequential_matching_list.py:39-47).
+
+    Names without the reference's ``NNN-`` prefix fall back to their
+    position in the given (caller-sorted) order."""
     out = []
-    frame_idx = [int(os.path.split(name)[1].split("-")[0]) for name in images]
+
+    def _frame(i: int, name: str) -> int:
+        head = os.path.split(name)[1].split("-")[0]
+        return int(head) if head.isdigit() else i
+
+    frame_idx = [_frame(i, name) for i, name in enumerate(images)]
     for i in range(len(images)):
         for j in range(i + 1, len(images)):
             if frame_idx[j] - frame_idx[i] > num_frames:

@@ -309,7 +309,7 @@ def make_eth3d_dataset(
 
     names = []
     for c in range(scene.num_cameras):
-        name = f"im{c:02d}.png"
+        name = f"im{c:04d}.png"
         names.append(name)
         img = (
             rendered_images[c]

@@ -79,6 +79,18 @@ def main():
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--sfm", action="store_true",
                     help="also run the incremental-mapper SfM A/B")
+    ap.add_argument(
+        "--match_mode",
+        default="exhaustive",
+        choices=["exhaustive", "sequential"],
+        help="'sequential' rewrites the match list to a frame window plus "
+        "sparse loop closures (the reference's LFE big-scene shape: "
+        "provided match lists, not all-pairs; "
+        "local-feature-evaluation/download.sh fetches 1.3-1.6k-image "
+        "scenes with such lists)",
+    )
+    ap.add_argument("--match_window", type=int, default=10,
+                    help="sequential window size (with --match_mode sequential)")
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
 
@@ -122,11 +134,26 @@ def main():
     synthetic.make_eth3d_dataset(
         root, scene, rng, rendered_images=images, scan_mesh=mesh
     )
+    n_pairs = args.num_cameras * (args.num_cameras - 1) // 2
+    if args.match_mode == "sequential":
+        from lfr_tpu.io import match_list as ml
+
+        names = sorted(
+            f for f in os.listdir(os.path.join(root, "images"))
+            if f.endswith(".png") or f.endswith(".jpg")
+        )
+        pairs = set(ml.sequential_pairs(names, args.match_window))
+        # Sparse loop closures: exhaustive over every 10th frame (the arc
+        # revisits nothing, so these are the long-baseline constraints a
+        # real sequence's loop closures would provide).
+        pairs.update(ml.exhaustive_pairs(names[::10]))
+        pairs = sorted(pairs)
+        ml.write_match_list(os.path.join(root, "match-list.txt"), pairs)
+        n_pairs = len(pairs)
     t_dataset = time.perf_counter() - t0
 
     image_dir = os.path.join(root, "images")
     n_images = args.num_cameras
-    n_pairs = n_images * (n_images - 1) // 2
 
     stage_runs: dict = {}
     results = None
