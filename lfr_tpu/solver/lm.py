@@ -171,8 +171,9 @@ def _normal_equations(x, batch_arrays, free):
     return H, g.reshape(2 * n)
 
 
-def _lm_single(x0, batch_arrays, free, max_iter):
-    """LM loop for one component.  Returns (x, iterations, final_cost)."""
+def _lm_single(x0, batch_arrays, free, max_iter, lam0: float = 1e-4):
+    """LM loop for one component.
+    Returns (x, iterations, final_cost, converged)."""
     n = x0.shape[0]
 
     def cost_fn(x):
@@ -209,9 +210,9 @@ def _lm_single(x0, batch_arrays, free, max_iter):
         _, _, _, done, it = state
         return (~done) & (it < max_iter)
 
-    init = (x0, jnp.asarray(1e-4, x0.dtype), cost_fn(x0), jnp.asarray(False), jnp.asarray(0))
-    x, _, cost, _, it = jax.lax.while_loop(cond, body, init)
-    return x, it, cost
+    init = (x0, jnp.asarray(lam0, x0.dtype), cost_fn(x0), jnp.asarray(False), jnp.asarray(0))
+    x, _, cost, done, it = jax.lax.while_loop(cond, body, init)
+    return x, it, cost, done
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter",))
@@ -233,8 +234,47 @@ def solve_component_batch(
 
     def solve_one(x0_i, esrc, edst, esim, eflow, eintra, evalid, free_i):
         arrays = (esrc, edst, esim, eflow, eintra, evalid)
-        x, it, cost = _lm_single(x0_i, arrays, free_i, max_iter)
+        x, it, cost, done = _lm_single(x0_i, arrays, free_i, max_iter)
         return x
+
+    return jax.vmap(solve_one)(
+        x0, edge_src, edge_dst, edge_sim, edge_flow, edge_intra, edge_valid, free
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def solve_component_batch_staged(
+    edge_src,
+    edge_dst,
+    edge_sim,
+    edge_flow,
+    edge_intra,
+    edge_valid,
+    is_root,
+    node_valid,
+    x0=None,
+    max_iter: int = LM_MAX_ITERATIONS,
+):
+    """Like :func:`solve_component_batch` but also returns per-problem
+    convergence flags (and accepts warm-start positions).
+
+    Rationale: a ``vmap``-ed ``while_loop`` iterates until its SLOWEST
+    lane converges — the production iteration profile is median 4 / p90 9
+    / a sub-percent tail at the 100 cap, so a full-batch 100-iteration
+    budget pays ~10x the median work.  The solve driver runs every bucket
+    at a short budget first, then compacts only the unconverged lanes
+    into a small straggler batch for the remaining iterations (LM restart
+    from the reached positions; same stationary points, same stopping
+    rules — Ceres runs one continuous loop, solve.cc:145-153)."""
+    b, n = is_root.shape
+    if x0 is None:
+        x0 = jnp.zeros((b, n, 2), dtype=jnp.float32)
+    free = node_valid & ~is_root
+
+    def solve_one(x0_i, esrc, edst, esim, eflow, eintra, evalid, free_i):
+        arrays = (esrc, edst, esim, eflow, eintra, evalid)
+        x, it, cost, done = _lm_single(x0_i, arrays, free_i, max_iter)
+        return x, done
 
     return jax.vmap(solve_one)(
         x0, edge_src, edge_dst, edge_sim, edge_flow, edge_intra, edge_valid, free
