@@ -94,10 +94,34 @@ def _normalize_points(x: jnp.ndarray):
     return (x - mean) * scale, T
 
 
-def fundamental_8point(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray = None) -> jnp.ndarray:
+def nullvec_fix_last(A: jnp.ndarray) -> jnp.ndarray:
+    """Null vector of a MINIMAL (..., 8, 9) design matrix by fixing the
+    last component to 1 and solving the exact square system
+    ``A[..., :8] g = -A[..., 8]`` (batched LU).
+
+    Valid whenever the true solution's last component is nonzero — the
+    F/H pipelines already normalize by the [2, 2] entry, so this is the
+    same genericity assumption; a degenerate sample yields a low-scoring
+    hypothesis, which RANSAC discards anyway.  Batched LU solves
+    vectorize on TPU where the iterative small-matrix SVD does not
+    (scripts/bench_nullvec.py), and the solution is exact (~1e-7
+    residual on real epipolar minimal sets vs ~4e-3 for shifted inverse
+    power iteration, whose convergence collapses when the minimal set's
+    A^T A has several near-zero eigenvalues)."""
+    g = jnp.linalg.solve(A[..., :8, :8], -A[..., :8, 8])
+    v = jnp.concatenate([g, jnp.ones(g.shape[:-1] + (1,), g.dtype)], axis=-1)
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+
+
+def fundamental_8point(
+    x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray = None, fast: bool = False
+) -> jnp.ndarray:
     """Normalized 8-point fundamental matrix from (N>=8, 2) correspondences.
 
     ``w``: optional per-correspondence weights (for weighted refits).
+    ``fast``: inverse-power null vector and NO rank-2 enforcement — for
+    RANSAC hypothesis scoring only, where F's sole job is selecting an
+    inlier set and the subsequent refit rebuilds it exactly.
     """
     n1, T1 = _normalize_points(x1)
     n2, T2 = _normalize_points(x2)
@@ -107,6 +131,10 @@ def fundamental_8point(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray = None) 
     A = jnp.stack([u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, ones], axis=1)
     if w is not None:
         A = A * w[:, None]
+    if fast:
+        F = nullvec_fix_last(A).reshape(3, 3)
+        F = T2.T @ F @ T1
+        return F / jnp.where(jnp.abs(F[2, 2]) < 1e-12, 1.0, F[2, 2])
     if A.shape[0] < 9:
         # The null vector of a wide A is NOT in the thin SVD's row-space
         # basis (svd of (8, 9) returns only 8 right vectors); pad with
@@ -134,8 +162,14 @@ def sampson_error(F: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarr
     return num / jnp.maximum(den, 1e-12)
 
 
-def homography_dlt(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
-    """Normalized DLT homography from (N>=4, 2) correspondences."""
+def homography_dlt(
+    x1: jnp.ndarray, x2: jnp.ndarray, fast: bool = False, w: jnp.ndarray = None
+) -> jnp.ndarray:
+    """Normalized DLT homography from (N>=4, 2) correspondences.
+
+    ``fast``: fixed-last-component null vector (hypothesis scoring; the
+    winning model is refit with the exact path).  ``w``: optional
+    per-correspondence weights (weighted refits)."""
     n1, T1 = _normalize_points(x1)
     n2, T2 = _normalize_points(x2)
     u1, v1 = n1[:, 0], n1[:, 1]
@@ -145,12 +179,17 @@ def homography_dlt(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
     rows1 = jnp.stack([u1, v1, o, z, z, z, -u2 * u1, -u2 * v1, -u2], axis=1)
     rows2 = jnp.stack([z, z, z, u1, v1, o, -v2 * u1, -v2 * v1, -v2], axis=1)
     A = jnp.concatenate([rows1, rows2], axis=0)
-    if A.shape[0] < 9:
-        # See fundamental_8point: a wide A's null vector is outside the
-        # thin SVD's row-space basis; zero-row padding restores it.
-        A = jnp.concatenate([A, jnp.zeros((9 - A.shape[0], 9), A.dtype)])
-    _, _, vt = jnp.linalg.svd(A, full_matrices=False)
-    H = vt[-1].reshape(3, 3)
+    if w is not None:
+        A = A * jnp.concatenate([w, w])[:, None]
+    if fast:
+        H = nullvec_fix_last(A).reshape(3, 3)
+    else:
+        if A.shape[0] < 9:
+            # See fundamental_8point: a wide A's null vector is outside
+            # the thin SVD's row-space basis; zero-row padding restores it.
+            A = jnp.concatenate([A, jnp.zeros((9 - A.shape[0], 9), A.dtype)])
+        _, _, vt = jnp.linalg.svd(A, full_matrices=False)
+        H = vt[-1].reshape(3, 3)
     H = jnp.linalg.inv(T2) @ H @ T1
     return H / jnp.where(jnp.abs(H[2, 2]) < 1e-12, 1.0, H[2, 2])
 
