@@ -365,16 +365,37 @@ class IncrementalMapper:
         uv = self.uv_g[f]
         return X, uv, np.stack([f - lo, p], axis=1)
 
+    def _candidate_ranking(self) -> List[int]:
+        """Unregistered images ranked by a cheap global upper bound on
+        their 2D-3D correspondence count: one vectorized pass over the
+        whole CSR graph (count of unassigned features with >=1 assigned
+        correspondent, grouped by image) replaces the per-image vote
+        scans — at V images the old path recomputed V full vote passes
+        per registration round (O(V^2) over the run)."""
+        if self.corr_nbr.size == 0:
+            return []
+        nbr_assigned = (self.pid_of_g[self.corr_nbr] >= 0).astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(nbr_assigned)])
+        per_feat = cs[self.corr_start[1:]] - cs[self.corr_start[:-1]]
+        cand_feat = (per_feat > 0) & (self.pid_of_g < 0)
+        per_img = np.bincount(
+            self.img_of_g[cand_feat], minlength=len(self.iids)
+        )
+        per_img[self.registered_mask] = 0
+        order = np.argsort(-per_img, kind="stable")
+        return [
+            self.iids[k]
+            for k in order
+            if per_img[k] >= self.opt.abs_pose_min_num_inliers
+        ]
+
     def _register_next(self) -> Optional[int]:
-        candidates = []
-        for iid in self.iids:
-            if iid in self.R:
-                continue
+        # Lazy evaluation in ranked order: the detailed (vote + PnP) pass
+        # runs only until one image registers — typically the first.
+        for iid in self._candidate_ranking():
             X, uv, fp = self._visible_points(iid)
-            if X.shape[0] >= self.opt.abs_pose_min_num_inliers:
-                candidates.append((X.shape[0], iid, X, uv, fp))
-        candidates.sort(key=lambda c: -c[0])
-        for _, iid, X, uv, fp in candidates:
+            if X.shape[0] < self.opt.abs_pose_min_num_inliers:
+                continue
             result = pnp.estimate_pose(
                 X, uv, self.focal[iid], min_inliers=self.opt.abs_pose_min_num_inliers
             )
