@@ -121,8 +121,10 @@ _device_blocks_cache: Dict[int, tuple] = {}
 #: Combined host+device byte budget for _device_blocks_cache.  Scan
 #: surface samples reach tens of millions of points (~1 GB host + ~0.5 GB
 #: padded device f32 copy); bounding by footprint instead of entry count
-#: keeps one big scan resident without pinning several.
-_CACHE_BUDGET_BYTES = int(3e9)
+#: keeps one big scan resident without pinning several.  Sized so the
+#: cache never crowds the refinement stage's near-full-chip peak when a
+#: benchmark alternates match and evaluation phases in one process.
+_CACHE_BUDGET_BYTES = int(1.5e9)
 
 
 def _cache_entry_bytes(entry: tuple) -> int:

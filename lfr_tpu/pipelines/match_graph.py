@@ -240,6 +240,7 @@ def compute_match_graph(
     if fused:
         for smeta, payload in stream.flush():
             _emit(smeta, payload)
+        stream.close()
     _drain(0)
     pool.shutdown(wait=False)
     _flush(final=part_idx == -1)

@@ -473,3 +473,23 @@ class MatchRefineStream:
         """Finish everything and yield all remaining pairs in order."""
         self._drain_all_device_work()
         yield from self._pop_complete()
+
+    def close(self) -> None:
+        """Release the device stacks deterministically.
+
+        The image/descriptor stacks hold several GB of HBM; dropping them
+        via garbage collection alone can lag behind the next stage's (or
+        the next stream's) allocations and tip the refine program's
+        ~full-chip peak into ResourceExhausted."""
+        for arr in (self._base_stack, self._up_stack, self._dstack):
+            if arr is not None:
+                try:
+                    arr.delete()
+                except Exception:
+                    pass
+        self._base_stack = self._up_stack = self._dstack = None
+        self._slots.clear()
+        self._dslots.clear()
+        self._dhost.clear()
+        self._free = []
+        self._dfree = []
