@@ -23,6 +23,11 @@ from . import partition as partition_mod
 from . import tracks as tracks_mod
 from .lm import solve_batch
 
+#: Phase-1 LM budget: covers the p90 of production convergence (median 4
+#: / p90 9 iterations); lanes still running after this many iterations
+#: re-dispatch as a compacted straggler batch for the remaining budget.
+INITIAL_LM_ITER = 16
+
 
 def solve_matches(
     pairs: Sequence[protos.PairMatches],
@@ -84,7 +89,7 @@ def solve_matches(
     # short budget, then only the unconverged lanes re-dispatch as a
     # compacted straggler batch for the remaining iterations (measured
     # 74 s -> ~1/6th on the 30-camera scene's (512, 32, 512) bucket).
-    initial_iter = min(16, max_iter)
+    initial_iter = min(INITIAL_LM_ITER, max_iter)
     pending = []
     n_stragglers = 0
     for batch, node_map in buckets_mod.iter_packed(graph, tracks, component_idx):

@@ -334,3 +334,31 @@ def test_pack_native_matches_numpy(monkeypatch):
         for f in fields:
             assert np.array_equal(getattr(bn, f), getattr(bp, f)), f
         assert np.array_equal(mn, mp_)
+
+
+def test_staged_solve_straggler_path(monkeypatch):
+    """With the phase-1 budget forced to 1 iteration, every non-trivial
+    lane becomes a straggler and must re-dispatch through the compacted
+    straggler batch — the result must match the single-phase solve."""
+    truth = {
+        ("a", 0): np.zeros(2), ("b", 0): np.array([0.2, -0.15]), ("c", 0): np.array([-0.1, 0.3]),
+    }
+
+    def grid_between(k1, k2):
+        return _const_grid(truth[k2] - truth[k1])[None]
+
+    pairs = [
+        _pair("a", "b", [[0, 0]], [0.95], grid_between(("a", 0), ("b", 0)), grid_between(("b", 0), ("a", 0))),
+        _pair("b", "c", [[0, 0]], [0.9], grid_between(("b", 0), ("c", 0)), grid_between(("c", 0), ("b", 0))),
+        _pair("a", "c", [[0, 0]], [0.85], grid_between(("a", 0), ("c", 0)), grid_between(("c", 0), ("a", 0))),
+    ]
+    monkeypatch.setattr(solve, "INITIAL_LM_ITER", 1)
+    sols = solve.solve_matches(pairs, verbose=False)
+    solved = {}
+    for s in sols:
+        for fi, d in zip(s.feature_indices, s.displacements):
+            solved[(s.image_name, int(fi))] = d
+    for (k1, k2) in [(("a", 0), ("b", 0)), (("b", 0), ("c", 0))]:
+        np.testing.assert_allclose(
+            solved[k2] - solved[k1], truth[k2] - truth[k1], atol=1e-2
+        )
