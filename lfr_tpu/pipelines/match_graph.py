@@ -124,8 +124,9 @@ def compute_match_graph(
     # Exhaustive match lists cycle image2 through every other image per
     # image1 block, so a small LRU thrashes (one prep per pair); bound the
     # cache by device bytes instead — ~7 MB per 640x480 image, ~105 MB at
-    # the 1600 px cap, against a 4 GB budget.
-    PREP_CACHE_BYTES = int(4e9)
+    # the 1600 px cap.  (See stream.STACK_BUDGET_BYTES for the total HBM
+    # budget this shares with the stacks and the refine program's peak.)
+    PREP_CACHE_BYTES = int(2.5e9)
     prep_bytes = [0]
 
     def _prep_size(p):

@@ -38,8 +38,12 @@ MATCH_DEPTH = 2
 #: In-flight refinement batches before the oldest is synced.
 REFINE_DEPTH = 2
 
-#: Device bytes for the two image stacks together.
-STACK_BUDGET_BYTES = int(4e9)
+#: Device bytes for the two image stacks together.  Sized with the
+#: refine program's ~5 GB transient peak and the match-graph prep cache
+#: in mind: stacks + prep + transients must stay under the 16 GB chip
+#: with margin for cached eval blocks and compiled programs (back-to-back
+#: benchmark repeats OOM'd at 4 GB + 4 GB budgets).
+STACK_BUDGET_BYTES = int(3.5e9)
 
 #: Device bytes for the descriptor stack.
 DESC_BUDGET_BYTES = int(512e6)

@@ -53,7 +53,17 @@ def probe() -> dict:
     t0 = time.perf_counter()
     np.asarray(st["mm"](st["x"]))
     matmul_ms = (time.perf_counter() - t0) * 1e3
-    return {
+    out = {
         "roundtrip_ms": round(roundtrip_ms, 2),
         "matmul_ms": round(matmul_ms, 2),
     }
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        for k in ("bytes_in_use", "peak_bytes_in_use", "largest_free_block_bytes"):
+            if k in stats:
+                out[k.replace("bytes_in_use", "mb_in_use").replace("_bytes", "_mb")] = round(
+                    stats[k] / 1e6, 1
+                )
+    except Exception:
+        pass
+    return out

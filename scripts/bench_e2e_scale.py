@@ -178,6 +178,17 @@ def main():
             if f.endswith(".sift"):
                 os.remove(os.path.join(image_dir, f))
         _clean_run_artifacts(root, "sift")
+        if rep:
+            # The refine stage peaks near the full chip; device blocks
+            # cached by the previous repeat's evaluation (plus anything
+            # only reachable through GC cycles) must not crowd it.
+            import gc
+
+            from lfr_tpu.eval import eth3d
+
+            eth3d._evict_to_budget(eth3d._CACHE_BUDGET_BYTES)  # drop all
+            eth3d._visible_scan_cache.clear()
+            gc.collect()
 
         print(f"[e2e] repeat {rep}: extracting...", file=sys.stderr, flush=True)
         _probe(f"rep{rep}_pre_extract")
