@@ -468,10 +468,36 @@ def _visible_scan_cached(
     hit = _visible_scan_cache.get(key)
     if hit is not None:
         return hit
+    # Disk cache beside the scan (like the surface samples): the
+    # visibility pass projects millions of samples into every view —
+    # tens of seconds at 100 cameras — and depends only on the fixed
+    # ground truth, while benchmark drivers evaluate the same scene once
+    # per method x {ref,raw} x repeat, often in separate processes.
+    disk = None
+    if not os.environ.get("LFR_NO_SCAN_CACHE"):
+        disk = f"{key[0]}.visible-{min_views}-{scan.shape[0]}.npz"
+    if disk and os.path.exists(disk):
+        try:
+            with np.load(disk) as z:
+                if float(z["mtime"]) == key[1]:
+                    visible = z["visible"]
+                    _visible_scan_cache.clear()
+                    _visible_scan_cache[key] = visible
+                    return visible
+        except Exception:
+            pass
     from ..io.colmap_model import read_model
 
     mask = scan_visibility_mask(scan, read_model(gt_model_path), min_views)
     visible = np.ascontiguousarray(scan[mask])
+    if disk is not None:
+        try:
+            tmp = disk + ".tmp"
+            with open(tmp, "wb") as fh:
+                np.savez(fh, visible=visible.astype(np.float32), mtime=key[1])
+            os.replace(tmp, disk)
+        except Exception:
+            pass
     _visible_scan_cache.clear()
     _visible_scan_cache[key] = visible
     return visible

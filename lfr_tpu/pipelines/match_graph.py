@@ -125,8 +125,9 @@ def compute_match_graph(
     # image1 block, so a small LRU thrashes (one prep per pair); bound the
     # cache by device bytes instead — ~7 MB per 640x480 image, ~105 MB at
     # the 1600 px cap.  (See stream.STACK_BUDGET_BYTES for the total HBM
-    # budget this shares with the stacks and the refine program's peak.)
-    PREP_CACHE_BYTES = int(2.5e9)
+    # budget this shares with the stacks and the refine program's peak;
+    # a 2.5 GB budget measured 2x slower on the 100-image run.)
+    PREP_CACHE_BYTES = int(4e9)
     prep_bytes = [0]
 
     def _prep_size(p):

@@ -40,10 +40,13 @@ REFINE_DEPTH = 2
 
 #: Device bytes for the two image stacks together.  Sized with the
 #: refine program's ~5 GB transient peak and the match-graph prep cache
-#: in mind: stacks + prep + transients must stay under the 16 GB chip
-#: with margin for cached eval blocks and compiled programs (back-to-back
-#: benchmark repeats OOM'd at 4 GB + 4 GB budgets).
-STACK_BUDGET_BYTES = int(3.5e9)
+#: in mind; at 640x480 the stacks hold ~85 images, and an eviction
+#: drains all in-flight work, so UNDERsizing this thrashes a
+#: 100-image exhaustive run (measured: match stage 142 s -> 286 s at a
+#: 3.5 GB budget).  Stage-boundary hygiene (stream.close(), the
+#: benchmark's between-repeat eval-cache clear) keeps the 4+4 GB
+#: budgets inside the chip.
+STACK_BUDGET_BYTES = int(4e9)
 
 #: Device bytes for the descriptor stack.
 DESC_BUDGET_BYTES = int(512e6)
