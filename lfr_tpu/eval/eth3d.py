@@ -147,6 +147,22 @@ def _evict_to_budget(incoming_bytes: int) -> None:
             pass
 
 
+def release_device_blocks() -> None:
+    """Free every cached device point block (host arrays stay cached in
+    ``_scan_cache``/on disk, so re-populating costs one upload).
+
+    Stage-boundary hygiene: the match-refine stage peaks near the full
+    chip, and an evaluation's cached blocks surviving into it tip the
+    refine program into ResourceExhausted.  Pipelines that interleave
+    evaluation with refinement call this when the evaluation burst ends."""
+    for key in list(_device_blocks_cache):
+        entry = _device_blocks_cache.pop(key)
+        try:
+            entry[2].delete()
+        except Exception:
+            pass
+
+
 def _device_blocks(arr: np.ndarray):
     """Padded (N_blocks, _DEV_CHUNK, 3) device copy of ``arr``, cached by
     object identity.  Padding rows sit at 1e6 on every axis: as corpus

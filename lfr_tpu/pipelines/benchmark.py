@@ -100,6 +100,14 @@ def run_eth(
             with open(out_txt, "w") as fh:
                 fh.write(eth3d.format_results(ev))
 
+    if evaluate and os.path.exists(scan_file):
+        # Stage hygiene: cached eval blocks must not crowd a subsequent
+        # match-refine stage's near-full-chip peak (e.g. run_sfm after
+        # run_eth in one process); host/disk caches make re-upload cheap.
+        from ..eval import eth3d
+
+        eth3d.release_device_blocks()
+
     results["timing"] = spans.report()
     with open(
         os.path.join(output_path, f"{method_name}-{dataset_name}-stats.json"), "w"

@@ -46,6 +46,16 @@ def compute_match_graph(
     SKIP_REFINEMENT debug path (reference: compute_match_graph.py:28,150-159).
     """
     import concurrent.futures
+    import sys as _sys
+
+    # Defensive stage hygiene: if an evaluation ran earlier in this
+    # process, its cached device point blocks would crowd this stage's
+    # near-full-chip refine peak (ResourceExhausted); drop them (host and
+    # disk caches make later re-upload cheap).  Guarded so this never
+    # imports the eval stack just to clear nothing.
+    _eth3d = _sys.modules.get("lfr_tpu.eval.eth3d")
+    if _eth3d is not None:
+        _eth3d.release_device_blocks()
 
     pairs = match_list_io.read_match_list(match_list_file)
     if refiner is None and not skip_refinement:
