@@ -291,7 +291,14 @@ class IncrementalMapper:
             if max(err1, err2) > self.opt.max_reproj_error_px:
                 continue
             self._new_point(X[k], [(id1, f1), (id2, f2)])
-        return len(self.points) >= self.opt.init_min_num_inliers // 2
+        if len(self.points) < self.opt.init_min_num_inliers // 2:
+            # Failing AFTER poses/points were created must not leak
+            # partial state into the next candidate attempt: a later
+            # successful init would inherit tracks referencing these
+            # images while `registered` no longer lists them.
+            self._reset_reconstruction()
+            return False
+        return True
 
     def _reproj_err(self, iid: int, X: np.ndarray, feat: int) -> float:
         c = self.R[iid] @ X + self.t[iid]

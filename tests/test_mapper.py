@@ -138,3 +138,25 @@ def test_local_ba_keeps_drift_bounded(tmp_path):
     assert model is not None
     assert stats["num_reg_images"] == 8
     assert stats["mean_reproj_error"] < 1.5, stats
+
+
+def test_failed_init_leaves_no_partial_state(tmp_path):
+    """An initialization attempt that fails AFTER creating poses/points
+    must fully reset — leaked partial state (R entries + tracks for
+    images absent from `registered`) crashed local BA at 100 cameras
+    (regression)."""
+    from test_sfm import _scene_to_db_and_model
+
+    from lfr_tpu.sfm import mapper as mapper_mod
+
+    rng = np.random.default_rng(3)
+    scene = synthetic.random_scene(rng, num_points=150, num_cameras=4, noise_px=0.3)
+    db, _ = _scene_to_db_and_model(scene, tmp_path, noise=0.3, seed=7)
+    m = mapper_mod.IncrementalMapper(db)
+    (id1, id2), _ = max(m.pair_matches.items(), key=lambda kv: kv[1].shape[0])
+    # Force the final point-count gate to fail: point creation disabled.
+    m._new_point = lambda X, obs: None
+    assert not m._try_initialize(id1, id2)
+    assert not m.R and not m.registered and not m.track
+    assert not m.registered_mask.any()
+    assert (m.pid_of_g == -1).all()
