@@ -772,13 +772,32 @@ class IncrementalMapper:
 
         since_global = 0
         pending_first = first_iid
+        retried_after_stall = False
         while True:
             if pending_first is not None:
                 iid, pending_first = pending_first, None
             else:
                 iid = self._register_next()
             if iid is None:
-                break
+                # Registration stall: before giving up, run the global
+                # bookkeeping round (BA + filtering + retriangulation +
+                # track completion) and retry ONCE — mid-run structure
+                # near the frontier is often too drifted/contaminated for
+                # PnP until it is re-optimized (colmap mapper retries
+                # registration the same way; measured: a 100-camera
+                # refined run stalled at 49/100 without this, while the
+                # post-run bookkeeping made every remaining image
+                # registerable).
+                if retried_after_stall or len(self.registered) >= len(self.image_info):
+                    break
+                self._run_ba()
+                self._filter_points()
+                self._retriangulate()
+                self._complete_tracks()
+                since_global = 0
+                retried_after_stall = True
+                continue
+            retried_after_stall = False
             n_new = self._triangulate_new(iid)
             # Local BA around every newly registered camera (colmap
             # mapper behavior; keeps drift bounded between global rounds).

@@ -76,9 +76,13 @@ def _ransac_pnp(X, uv, valid, focal, key, num_hypotheses: int = NUM_HYPOTHESES):
     best = jnp.argmax(scores)
     R, t = Rs[best], ts[best]
 
-    # Gauss-Newton polish on inliers (pose only).
+    # Gauss-Newton polish on inliers (pose only), GUARDED: a step that
+    # loses inliers is rejected (LO-RANSAC; an unguarded polish from a
+    # contaminated hypothesis's inlier set can wander off and drop the
+    # final count below the acceptance threshold — see the analogous
+    # verify.py refit guard).
     def refine(carry, _):
-        R, t = carry
+        R, t, n_best = carry
         err = _reproj_err_sq(R, t, X, uv, focal)
         w = ((err <= MAX_ERROR_PX**2) & valid).astype(jnp.float32)
 
@@ -94,9 +98,15 @@ def _ransac_pnp(X, uv, valid, focal, key, num_hypotheses: int = NUM_HYPOTHESES):
         J = jax.jacfwd(resid)(p0)
         H = J.T @ J + 1e-6 * jnp.eye(6)
         delta = jnp.linalg.solve(H, -J.T @ r)
-        return (so3_exp(delta[:3]) @ R, t + delta[3:]), None
+        R2 = so3_exp(delta[:3]) @ R
+        t2 = t + delta[3:]
+        n2 = jnp.sum((_reproj_err_sq(R2, t2, X, uv, focal) <= MAX_ERROR_PX**2) & valid)
+        take = n2 >= n_best
+        R = jnp.where(take, R2, R)
+        t = jnp.where(take, t2, t)
+        return (R, t, jnp.maximum(n2, n_best)), None
 
-    (R, t), _ = jax.lax.scan(refine, (R, t), None, length=5)
+    (R, t, _), _ = jax.lax.scan(refine, (R, t, scores[best]), None, length=5)
     err = _reproj_err_sq(R, t, X, uv, focal)
     inliers = (err <= MAX_ERROR_PX**2) & valid
     return R, t, inliers, jnp.sum(inliers)
