@@ -132,13 +132,21 @@ def _cache_entry_bytes(entry: tuple) -> int:
     return int(arr.nbytes) + int(np.prod(blocks.shape)) * 4
 
 
-def _evict_to_budget(incoming_bytes: int) -> None:
+def _evict_to_budget(incoming_bytes: int, protect: frozenset = frozenset()) -> None:
     """Drop oldest entries until the cache + incoming fits the budget,
-    deleting evicted device blocks instead of waiting for GC."""
+    deleting evicted device blocks instead of waiting for GC.
+
+    ``protect`` holds cache keys whose device blocks are live in the
+    caller's hands: evicting (and .delete()ing) them mid-computation
+    raises 'Array has been deleted' when the caller's jitted program runs
+    — exactly what happens when a big-scene corpus upload evicts the
+    queries entry fetched moments earlier."""
     total = sum(_cache_entry_bytes(e) for e in _device_blocks_cache.values())
     for key in list(_device_blocks_cache):
         if total + incoming_bytes <= _CACHE_BUDGET_BYTES:
             break
+        if key in protect:
+            continue
         entry = _device_blocks_cache.pop(key)
         total -= _cache_entry_bytes(entry)
         try:
@@ -163,13 +171,16 @@ def release_device_blocks() -> None:
             pass
 
 
-def _device_blocks(arr: np.ndarray):
+def _device_blocks(arr: np.ndarray, protect: frozenset = frozenset()):
     """Padded (N_blocks, _DEV_CHUNK, 3) device copy of ``arr``, cached by
     object identity.  Padding rows sit at 1e6 on every axis: as corpus
     they never win a min against real geometry; as queries their nearest
     real distance is ~1e6 m (never within tolerance).  Padded-query vs
     padded-corpus pairs are at distance 0 — callers subtract that count
-    (see _count_within)."""
+    (see _count_within).
+
+    ``protect``: cache keys (``id(other_arr)``) that eviction must not
+    touch because the caller still holds their device blocks."""
     import jax.numpy as jnp
 
     key = id(arr)
@@ -183,7 +194,7 @@ def _device_blocks(arr: np.ndarray):
     nb = 1 << max(0, (-(-n // _DEV_CHUNK) - 1)).bit_length()
     a = np.pad(a, ((0, nb * _DEV_CHUNK - n), (0, 0)), constant_values=1e6)
     blocks = jnp.asarray(a.reshape(-1, _DEV_CHUNK, 3))
-    _evict_to_budget(int(arr.nbytes) + a.nbytes)
+    _evict_to_budget(int(arr.nbytes) + a.nbytes, protect=protect)
     _device_blocks_cache[key] = (arr, n, blocks)
     return n, blocks
 
@@ -324,7 +335,9 @@ def _fractions_within(
     if _count_within_jitted is None:
         _count_within_jitted = jax.jit(_count_within_impl)
     nq, qb = _device_blocks(queries)
-    nc, cb = _device_blocks(corpus)
+    # Protect the queries entry: the corpus upload's eviction pass must
+    # not delete qb while it is live in the jitted call below.
+    nc, cb = _device_blocks(corpus, protect=frozenset((id(queries),)))
     tol2 = jnp.asarray(np.square(np.asarray(tolerances, np.float32)))
     counts = np.asarray(_count_within_jitted(qb, cb, tol2), np.int64)
     n_pad_q = qb.shape[0] * qb.shape[1] - nq
@@ -472,13 +485,29 @@ def scan_visibility_mask(
 _visible_scan_cache: Dict[tuple, np.ndarray] = {}
 
 
+def _model_dir_mtime(gt_model_path: str) -> float:
+    """Latest mtime over the model files (cameras/images/points3D .txt or
+    .bin) — the disk-cache validity signature for the GT calibration."""
+    latest = 0.0
+    try:
+        for name in os.listdir(gt_model_path):
+            if name.split(".")[0] in ("cameras", "images", "points3D"):
+                latest = max(latest, os.path.getmtime(os.path.join(gt_model_path, name)))
+    except OSError:
+        pass
+    return latest
+
+
 def _visible_scan_cached(
     scan: np.ndarray, ground_truth: str, gt_model_path: str, min_views: int
 ) -> np.ndarray:
+    model_abspath = os.path.abspath(gt_model_path)
+    model_mtime = _model_dir_mtime(gt_model_path)
     key = (
         os.path.abspath(ground_truth),
         os.path.getmtime(ground_truth),
-        os.path.abspath(gt_model_path),
+        model_abspath,
+        model_mtime,
         min_views,
     )
     hit = _visible_scan_cache.get(key)
@@ -488,14 +517,23 @@ def _visible_scan_cached(
     # visibility pass projects millions of samples into every view —
     # tens of seconds at 100 cameras — and depends only on the fixed
     # ground truth, while benchmark drivers evaluate the same scene once
-    # per method x {ref,raw} x repeat, often in separate processes.
+    # per method x {ref,raw} x repeat, often in separate processes.  The
+    # payload records (and load-time validates) the GT model path and its
+    # files' mtime as well as the scan's, mirroring the in-memory key —
+    # a regenerated calibration or a different model dir with the same
+    # scan must not silently reuse a stale mask.
     disk = None
     if not os.environ.get("LFR_NO_SCAN_CACHE"):
         disk = f"{key[0]}.visible-{min_views}-{scan.shape[0]}.npz"
     if disk and os.path.exists(disk):
         try:
             with np.load(disk) as z:
-                if float(z["mtime"]) == key[1]:
+                if (
+                    "model_path" in z.files
+                    and float(z["mtime"]) == key[1]
+                    and str(z["model_path"]) == model_abspath
+                    and float(z["model_mtime"]) == model_mtime
+                ):
                     visible = z["visible"]
                     _visible_scan_cache.clear()
                     _visible_scan_cache[key] = visible
@@ -510,7 +548,13 @@ def _visible_scan_cached(
         try:
             tmp = disk + ".tmp"
             with open(tmp, "wb") as fh:
-                np.savez(fh, visible=visible.astype(np.float32), mtime=key[1])
+                np.savez(
+                    fh,
+                    visible=visible.astype(np.float32),
+                    mtime=key[1],
+                    model_path=model_abspath,
+                    model_mtime=model_mtime,
+                )
             os.replace(tmp, disk)
         except Exception:
             pass
@@ -533,11 +577,7 @@ def evaluate_point_cloud(
     visible subset here while accuracy keeps the full scan corpus."""
     if scan_completeness is None:
         scan_completeness = scan
-    if (
-        reconstruction.shape[0] == 0
-        or scan.shape[0] == 0
-        or scan_completeness.shape[0] == 0
-    ):
+    if reconstruction.shape[0] == 0 or scan.shape[0] == 0:
         z = [0.0] * len(tolerances)
         return {
             "tolerances": list(tolerances),
@@ -548,7 +588,24 @@ def evaluate_point_cloud(
         }
 
     accuracies = _fractions_within(reconstruction, scan, tolerances)
-    completenesses = _fractions_within(scan_completeness, reconstruction, tolerances)
+    if scan_completeness.shape[0] == 0:
+        # Visibility masking eliminated every scan sample (e.g. degenerate
+        # GT calibration).  Accuracy is still computable from the full
+        # scan; only the completeness direction has no queries — zero it
+        # and warn loudly rather than silently returning all zeros, which
+        # would read as a bad reconstruction instead of a masking failure.
+        import warnings
+
+        warnings.warn(
+            "visibility mask eliminated every scan sample; completeness "
+            "set to 0 (accuracy computed from the full scan)",
+            RuntimeWarning,
+        )
+        completenesses = [0.0] * len(tolerances)
+    else:
+        completenesses = _fractions_within(
+            scan_completeness, reconstruction, tolerances
+        )
     f1s = [
         2 * a * c / (a + c) if (a + c) > 0 else 0.0
         for a, c in zip(accuracies, completenesses)

@@ -159,24 +159,31 @@ def sample_batch(
     The target patch is the same content re-sampled at center + delta px,
     so the network's task is exactly the two-view alignment problem.
     """
-    per_image = max(1, batch_size // len(images))
+    from ..config import PATCH_SIZE
+    from ..ops.patches import patch_offsets
+
+    # Margin covers patch half-extent + max displacement (derived, not
+    # hardcoded — a caller-supplied max_disp_px larger than the default
+    # must still leave the host sampler in-bounds, clamping would
+    # silently corrupt the labels).
+    margin = float(np.ceil(PATCH_SIZE / 2.0 + max_disp_px)) + 1.0
+    usable = [im for im in images if min(im.shape[:2]) > 2 * margin]
+    if not usable:
+        raise ValueError(
+            f"no training image exceeds the minimum size of "
+            f"{int(2 * margin) + 1}px per side required for "
+            f"patch_size={PATCH_SIZE}, max_disp_px={max_disp_px}"
+        )
+    # Quota spreads over USABLE images only, so the batch stays full even
+    # when some images were skipped for being too small.
+    per_image = max(1, -(-batch_size // len(usable)))
     refs, tgts, deltas = [], [], []
     remaining = batch_size
-    for img in images:
+    for img in usable:
         n = min(per_image, remaining)
         if n <= 0:
             break
-        from ..config import PATCH_SIZE
-        from ..ops.patches import patch_offsets
-
         h, w = img.shape[:2]
-        # Margin covers patch half-extent + max displacement (derived, not
-        # hardcoded — a caller-supplied max_disp_px larger than the default
-        # must still leave the host sampler in-bounds, clamping would
-        # silently corrupt the labels).
-        margin = float(np.ceil(PATCH_SIZE / 2.0 + max_disp_px)) + 1.0
-        if h <= 2 * margin or w <= 2 * margin:
-            continue
         centers = np.stack(
             [rng.uniform(margin, h - margin, n), rng.uniform(margin, w - margin, n)],
             axis=1,
