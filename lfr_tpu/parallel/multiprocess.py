@@ -96,8 +96,15 @@ def _demo_component_batch(global_b: int, n: int = 8, e: int = 24):
     return batch
 
 
-def _demo_ba_problem(n_cam: int = 6, n_pts: int = 60):
-    """Deterministic dense BA problem: every camera sees every point."""
+def _demo_ba_problem(n_cam: int = 6, n_pts: int = 60, noise_px: float = 0.25):
+    """Deterministic dense BA problem: every camera sees every point.
+
+    ``noise_px`` perturbs the observations (pixel units) so the converged
+    cost is NONZERO: a perfect synthetic problem times the code but cannot
+    catch numerical errors in the sharded Schur assembly or Gloo
+    reductions — a wrong sign in a collective still converges to cost 0.
+    The dryruns additionally assert sharded == single-device parameter
+    parity on this noisy problem."""
     from ..sfm import ba as ba_mod
 
     rng = np.random.default_rng(11)
@@ -111,6 +118,7 @@ def _demo_ba_problem(n_cam: int = 6, n_pts: int = 60):
     obs_pt = np.tile(np.arange(n_pts), n_cam)
     cam_pts = np.einsum("cij,pj->cpi", R, pts) + t[:, None]
     obs_uv = (cam_pts[..., :2] / cam_pts[..., 2:]).reshape(-1, 2)
+    obs_uv = obs_uv + rng.normal(0.0, noise_px / f, obs_uv.shape)
     order = np.argsort(obs_pt, kind="stable")
     fixed = np.zeros(n_cam, bool)
     fixed[:2] = True
@@ -266,17 +274,20 @@ def worker_main(argv: Optional[List[str]] = None) -> None:
             n_cameras=n_cam,
             iterations=args.ba_iters,
         )
-        return float(
+        cost = float(
             np.asarray(
                 multihost_utils.process_allgather(jnp.reshape(cost, (1,)), tiled=True)
             )[0]
         )
+        # process_allgather reshards the global array to fully-replicated
+        # and hands back the logical value (same pattern as cost above).
+        return cost, np.asarray(multihost_utils.process_allgather(tj, tiled=True))
 
     t0 = time.perf_counter()
-    cost = run_ba_once()
+    cost, t_solved = run_ba_once()
     ba_warm_ms = (time.perf_counter() - t0) * 1e3
     t0 = time.perf_counter()
-    cost = run_ba_once()
+    cost, t_solved = run_ba_once()
     ba_ms = (time.perf_counter() - t0) * 1e3
     rms = float(np.sqrt(2 * cost / prob.obs_cam.shape[0]))
     assert np.isfinite(cost), "distributed BA diverged"
@@ -291,6 +302,13 @@ def worker_main(argv: Optional[List[str]] = None) -> None:
         "ba_warm_ms": round(ba_warm_ms, 2),
         "ba_obs": int(prob.obs_cam.shape[0]),
         "ba_rms_px": round(rms, 4),
+        # Solved-parameter fingerprints so the launcher can assert
+        # numeric parity between the 1-process and N-process runs (a
+        # wrong Gloo reduction would still converge — to different
+        # numbers).  Camera translations + the first solved component's
+        # positions are small enough to ship in the JSON report.
+        "ba_t": np.asarray(t_solved, np.float64).ravel().tolist(),
+        "solve_c0": np.asarray(out[0], np.float64).ravel().tolist(),
     }
     print(json.dumps(report), flush=True)
     if args.out and args.process_id == 0:
