@@ -45,7 +45,15 @@ class MapperOptions:
     abs_pose_min_num_inliers: int = 15
     max_reproj_error_px: float = 4.0
     min_tri_angle_deg: float = 1.5
-    ba_global_every: int = 5
+    #: Fixed global-BA interval (registrations between global rounds).
+    #: ``None`` (default) uses the GEOMETRIC schedule: global BA when the
+    #: model has grown by ``ba_global_ratio`` since the last one — the
+    #: colmap-mapper scaling behavior (frequent while the model is small,
+    #: sparse once it is large; an every-K schedule is O(n^2/K) total BA
+    #: work over an n-image run, the geometric one is O(n)).
+    ba_global_every: Optional[int] = None
+    #: Growth factor of the geometric global-BA schedule.
+    ba_global_ratio: float = 1.1
     ba_iterations: int = 25
     ba_local_iterations: int = 12
     #: Covisible registered cameras freed in each local BA.
@@ -54,6 +62,13 @@ class MapperOptions:
     #: Refine per-view focal scales in BA (sensible when each image has its
     #: own camera, e.g. EXIF-bootstrapped databases).
     refine_focal: bool = False
+    #: Maximum number of disconnected models to reconstruct (the reference
+    #: keeps every model colmap produces and selects the largest,
+    #: colmap_utils.py:238-264).
+    max_models: int = 10
+    #: A (non-first) model must register at least this many images to be
+    #: kept when sweeping the disconnected remainder.
+    min_model_size: int = 3
 
 
 class IncrementalMapper:
@@ -135,63 +150,151 @@ class IncrementalMapper:
             self.corr_nbr = np.zeros(0, np.int64)
             self.corr_start = np.zeros(self.total + 1, np.int64)
 
-        # Reconstruction state.
+        # Reconstruction state.  Per-point state is FLAT ARRAYS indexed by
+        # pid (the dict/list-of-tuples track store was the superlinear
+        # term at 100+ cameras): positions in ``X``, liveness in
+        # ``_pid_live``, observation counts in ``track_len``; the tracks
+        # themselves are implicit in ``pid_of_g`` (all gids assigned to a
+        # pid) and recovered by vectorized grouping where needed.
         self.registered: List[int] = []
         self.registered_mask = np.zeros(len(self.iids), bool)
+        self.reg_rank: Dict[int, int] = {}  # iid -> registration order
         self.R: Dict[int, np.ndarray] = {}
         self.t: Dict[int, np.ndarray] = {}
-        self.points: Dict[int, np.ndarray] = {}            # pid -> xyz
-        self.track: Dict[int, List[Tuple[int, int]]] = {}  # pid -> [(iid, feat)]
-        self.track_imgs: Dict[int, set] = {}               # pid -> {iid}
         self.pid_of_g = np.full(self.total, -1, np.int64)
         self.next_pid = 1
-        # Flat liveness mask over pids (grown on demand): vectorized
-        # "pid in self.points" for the registration/completion scans.
-        self._pid_live = np.zeros(1024, bool)
+        cap = 1024
+        self._pid_live = np.zeros(cap, bool)
+        self.X = np.zeros((cap, 3))
+        self.track_len = np.zeros(cap, np.int32)
+        self.n_points = 0
+        #: (pid, image) co-membership as ``pid * n_images + img_idx`` ints:
+        #: O(1) image-disjointness checks (<=1 feature per image per track)
+        #: without per-track Python sets.
+        self.pair_set: set = set()
+        #: Images eligible for this reconstruction (multi-model sweeps
+        #: exclude images already registered in earlier models).
+        self.allowed_mask = np.ones(len(self.iids), bool)
+        # Incremental registration-candidate ranking: per feature, the
+        # number of ASSIGNED correspondents; per image, the number of
+        # unassigned features with >= 1 assigned correspondent.  Updated
+        # on every (un)assignment in O(degree) instead of recomputing an
+        # O(E) pass over the whole correspondence graph per registration
+        # round (~100 full passes over 1M+ entries at 100 cameras).
+        self.nbr_assigned = np.zeros(self.total, np.int32)
+        self.per_img_cand = np.zeros(len(self.iids), np.int64)
 
     # -- assignment helpers ------------------------------------------------
 
     def _gid(self, iid: int, feat: int) -> int:
         return self.base[iid] + feat
 
+    def _nbrs(self, gid: int) -> np.ndarray:
+        return self.corr_nbr[self.corr_start[gid] : self.corr_start[gid + 1]]
+
+    def _rank_on_assign(self, gid: int) -> None:
+        """Candidate-ranking bookkeeping when ``gid`` becomes assigned."""
+        if self.nbr_assigned[gid] > 0:
+            # gid itself leaves the candidate set of its image.
+            self.per_img_cand[self.img_of_g[gid]] -= 1
+        nbrs = self._nbrs(gid)
+        if nbrs.size:
+            old = self.nbr_assigned[nbrs]
+            self.nbr_assigned[nbrs] = old + 1
+            became = (old == 0) & (self.pid_of_g[nbrs] < 0)
+            if became.any():
+                np.add.at(self.per_img_cand, self.img_of_g[nbrs[became]], 1)
+
     def _assign(self, iid: int, feat: int, pid: int) -> None:
-        self.pid_of_g[self._gid(iid, feat)] = pid
-        self.track[pid].append((iid, feat))
-        self.track_imgs[pid].add(iid)
+        gid = self.base[iid] + feat
+        self.pid_of_g[gid] = pid
+        self.track_len[pid] += 1
+        self.pair_set.add(pid * len(self.iids) + self.iid_index[iid])
+        self._rank_on_assign(gid)
+
+    def _track_has_image(self, pid: int, iid: int) -> bool:
+        return (pid * len(self.iids) + self.iid_index[iid]) in self.pair_set
+
+    def _grow_points(self, need: int) -> None:
+        cap = self._pid_live.shape[0]
+        new_cap = max(need + 1, 2 * cap)
+        for name in ("_pid_live", "track_len"):
+            grown = np.zeros(new_cap, getattr(self, name).dtype)
+            grown[:cap] = getattr(self, name)
+            setattr(self, name, grown)
+        grown = np.zeros((new_cap, 3))
+        grown[:cap] = self.X
+        self.X = grown
 
     def _new_point(self, X, obs: List[Tuple[int, int]]) -> int:
         pid = self.next_pid
         self.next_pid += 1
-        self.points[pid] = X
-        self.track[pid] = []
-        self.track_imgs[pid] = set()
         if pid >= self._pid_live.shape[0]:
-            grown = np.zeros(max(pid + 1, 2 * self._pid_live.shape[0]), bool)
-            grown[: self._pid_live.shape[0]] = self._pid_live
-            self._pid_live = grown
+            self._grow_points(pid)
         self._pid_live[pid] = True
+        self.X[pid] = X
+        self.track_len[pid] = 0
+        self.n_points += 1
         for iid, feat in obs:
             self._assign(iid, feat, pid)
         return pid
 
-    def _kill_point(self, pid: int) -> None:
-        del self.points[pid]
-        del self.track[pid]
-        del self.track_imgs[pid]
-        self._pid_live[pid] = False
+    def _unassign_batch(self, gids: np.ndarray) -> None:
+        """Batched inverse of ``_assign`` for the filtering passes: clears
+        assignments, updates track lengths / pair sets / the incremental
+        candidate ranking.  ``gids`` must be currently assigned."""
+        if gids.size == 0:
+            return
+        pids = self.pid_of_g[gids]
+        ni = len(self.iids)
+        imgs = self.img_of_g[gids]
+        self.pair_set.difference_update((pids * ni + imgs).tolist())
+        np.subtract.at(self.track_len, pids, 1)
+        self.pid_of_g[gids] = -1
+        # Ranking: decrement every neighbor's assigned-correspondent
+        # count; transitions evaluated on the FINAL counts/assignments.
+        counts = self.corr_start[gids + 1] - self.corr_start[gids]
+        total_n = int(counts.sum())
+        if total_n:
+            starts = self.corr_start[gids]
+            offs = np.repeat(
+                starts - np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+            )
+            nbrs_all = self.corr_nbr[np.arange(total_n) + offs]
+            u, cnt = np.unique(nbrs_all, return_counts=True)
+            old = self.nbr_assigned[u]
+            self.nbr_assigned[u] = old - cnt
+            # Neighbors that were candidates (unassigned, old > 0) and now
+            # have zero assigned correspondents drop out — but members of
+            # this batch were ASSIGNED a moment ago (never candidates), so
+            # exclude them here; they are handled below.
+            in_batch = np.zeros(self.total, bool)
+            in_batch[gids] = True
+            lost = (old > 0) & (self.nbr_assigned[u] == 0) & (self.pid_of_g[u] < 0)
+            lost &= ~in_batch[u]
+            if lost.any():
+                np.add.at(self.per_img_cand, self.img_of_g[u[lost]], -1)
+        # The unassigned gids themselves become candidates if they still
+        # have assigned correspondents.
+        gained = self.nbr_assigned[gids] > 0
+        if gained.any():
+            np.add.at(self.per_img_cand, imgs[gained], 1)
 
     def _reset_reconstruction(self) -> None:
         """Discard all reconstruction state (used to retry initialization
-        from a different pair)."""
+        from a different pair, and between multi-model sweeps)."""
         self.registered = []
         self.registered_mask[:] = False
+        self.reg_rank = {}
         self.R = {}
         self.t = {}
-        self.points = {}
-        self.track = {}
-        self.track_imgs = {}
         self.pid_of_g[:] = -1
         self._pid_live[:] = False
+        self.track_len[:] = 0
+        self.n_points = 0
+        self.pair_set = set()
+        self.nbr_assigned[:] = 0
+        self.per_img_cand[:] = 0
 
     # ------------------------------------------------------------------
     # Initialization
@@ -282,8 +385,10 @@ class IncrementalMapper:
         self.R[id2] = R
         self.t[id2] = t
         self.registered = [id1, id2]
+        self.reg_rank = {id1: 0, id2: 1}
         self.registered_mask[self.iid_index[id1]] = True
         self.registered_mask[self.iid_index[id2]] = True
+        n_before = self.n_points
         for k in np.nonzero(good)[0]:
             f1, f2 = int(m[k, 0]), int(m[k, 1])
             err1 = self._reproj_err(id1, X[k], f1)
@@ -291,7 +396,7 @@ class IncrementalMapper:
             if max(err1, err2) > self.opt.max_reproj_error_px:
                 continue
             self._new_point(X[k], [(id1, f1), (id2, f2)])
-        if len(self.points) < self.opt.init_min_num_inliers // 2:
+        if self.n_points - n_before < self.opt.init_min_num_inliers // 2:
             # Failing AFTER poses/points were created must not leak
             # partial state into the next candidate attempt: a later
             # successful init would inherit tracks referencing these
@@ -312,10 +417,10 @@ class IncrementalMapper:
         if gids.size == 0:
             return np.zeros(0)
         img_idx = self.img_of_g[gids]
-        Rs = np.stack([self.R[self.iids[k]] for k in np.unique(img_idx)])
-        ts = np.stack([self.t[self.iids[k]] for k in np.unique(img_idx)])
-        remap = {k: i for i, k in enumerate(np.unique(img_idx))}
-        local = np.array([remap[k] for k in img_idx])
+        uniq = np.unique(img_idx)
+        Rs = np.stack([self.R[self.iids[k]] for k in uniq])
+        ts = np.stack([self.t[self.iids[k]] for k in uniq])
+        local = np.searchsorted(uniq, img_idx)
         c = np.einsum("nab,nb->na", Rs[local], X) + ts[local]
         z = c[:, 2]
         bad = z <= 1e-9
@@ -368,27 +473,32 @@ class IncrementalMapper:
         f, p = f[live], p[live]
         if f.size == 0:
             return np.zeros((0, 3)), np.zeros((0, 2)), np.zeros((0, 2), np.int64)
-        X = np.stack([self.points[pid] for pid in p])
+        X = self.X[p]
         uv = self.uv_g[f]
         return X, uv, np.stack([f - lo, p], axis=1)
 
-    def _candidate_ranking(self) -> List[int]:
-        """Unregistered images ranked by a cheap global upper bound on
-        their 2D-3D correspondence count: one vectorized pass over the
-        whole CSR graph (count of unassigned features with >=1 assigned
-        correspondent, grouped by image) replaces the per-image vote
-        scans — at V images the old path recomputed V full vote passes
-        per registration round (O(V^2) over the run)."""
+    def _ranking_counts_full(self) -> np.ndarray:
+        """O(E) recomputation of the per-image candidate counts — the
+        ground truth the incremental ``per_img_cand`` bookkeeping must
+        match (kept for tests/debugging)."""
         if self.corr_nbr.size == 0:
-            return []
+            return np.zeros(len(self.iids), np.int64)
         nbr_assigned = (self.pid_of_g[self.corr_nbr] >= 0).astype(np.int64)
         cs = np.concatenate([[0], np.cumsum(nbr_assigned)])
         per_feat = cs[self.corr_start[1:]] - cs[self.corr_start[:-1]]
         cand_feat = (per_feat > 0) & (self.pid_of_g < 0)
-        per_img = np.bincount(
-            self.img_of_g[cand_feat], minlength=len(self.iids)
-        )
+        return np.bincount(self.img_of_g[cand_feat], minlength=len(self.iids))
+
+    def _candidate_ranking(self) -> List[int]:
+        """Unregistered images ranked by a cheap global upper bound on
+        their 2D-3D correspondence count (unassigned features with >= 1
+        assigned correspondent).  Reads the incrementally maintained
+        ``per_img_cand`` — O(V log V) per round instead of an O(E) pass
+        over the whole correspondence graph (E reaches millions at 100+
+        cameras and this runs once per registration)."""
+        per_img = self.per_img_cand.copy()
         per_img[self.registered_mask] = 0
+        per_img[~self.allowed_mask] = 0
         order = np.argsort(-per_img, kind="stable")
         return [
             self.iids[k]
@@ -411,6 +521,7 @@ class IncrementalMapper:
             R, t, inliers = result
             self.R[iid] = R
             self.t[iid] = t
+            self.reg_rank[iid] = len(self.registered)
             self.registered.append(iid)
             self.registered_mask[self.iid_index[iid]] = True
             # Attach inlier observations to their tracks.
@@ -418,9 +529,9 @@ class IncrementalMapper:
                 feat, pid = int(fp[k, 0]), int(fp[k, 1])
                 if self.pid_of_g[self._gid(iid, feat)] >= 0 or not self._pid_live[pid]:
                     continue
-                if iid in self.track_imgs[pid]:
+                if self._track_has_image(pid, iid):
                     continue
-                if self._reproj_err(iid, self.points[pid], feat) <= self.opt.max_reproj_error_px:
+                if self._reproj_err(iid, self.X[pid], feat) <= self.opt.max_reproj_error_px:
                     self._assign(iid, feat, pid)
             return iid
         return None
@@ -458,8 +569,7 @@ class IncrementalMapper:
         uniq = np.unique(oid_idx)
         Ro = np.stack([self.R[self.iids[k]] for k in uniq])
         to = np.stack([self.t[self.iids[k]] for k in uniq])
-        remap = {k: i for i, k in enumerate(uniq)}
-        local = np.array([remap[k] for k in oid_idx])
+        local = np.searchsorted(uniq, oid_idx)
 
         # Pow2 padding: one compiled DLT program across all registrations
         # (shapes otherwise vary per image and recompile remotely).
@@ -566,36 +676,44 @@ class IncrementalMapper:
         problem with frozen poses, so their residuals still constrain the
         shared structure.
         """
-        if len(self.registered) < 2 or not self.points:
+        if len(self.registered) < 2 or self.n_points == 0:
             return
 
         if local_around is None:
             cam_ids = list(self.registered)
-            pids = sorted(self.points)
+            pids = np.flatnonzero(self._pid_live[: self.next_pid]).tolist()
             free_set = set(cam_ids)
             iterations = self.opt.ba_iterations
         else:
-            # Points seen by the new camera; covisibility-ranked neighbors.
+            # Points seen by the new camera; covisibility-ranked neighbors
+            # (one vectorized pass over the flat assignment array — the
+            # per-track Python loop here was O(track obs) per
+            # registration).
             seg = self.pid_of_g[
                 self.base[local_around] : self.base[local_around]
                 + self.kp[local_around].shape[0]
             ]
             cand = seg[seg >= 0]
-            pids = np.unique(cand[self._pid_live[cand]]).tolist()
-            if not pids:
+            pids_arr = np.unique(cand[self._pid_live[cand]])
+            if pids_arr.size == 0:
                 return
-            covis: Dict[int, int] = {}
-            cams_involved = set()
-            for pid in pids:
-                for iid, _ in self.track[pid]:
-                    cams_involved.add(iid)
-                    if iid != local_around:
-                        covis[iid] = covis.get(iid, 0) + 1
-            neighbors = sorted(covis, key=covis.get, reverse=True)[
-                : self.opt.local_ba_neighbors
-            ]
-            free_set = set(neighbors) | {local_around}
-            cam_ids = sorted(cams_involved, key=lambda i: self.registered.index(i))
+            pids = pids_arr.tolist()
+            gids_all = np.flatnonzero(self.pid_of_g >= 0)
+            sel = np.isin(self.pid_of_g[gids_all], pids_arr)
+            covis_cnt = np.bincount(
+                self.img_of_g[gids_all[sel]], minlength=len(self.iids)
+            )
+            involved_idx = np.flatnonzero(covis_cnt > 0)
+            local_idx = self.iid_index[local_around]
+            nb = covis_cnt.copy()
+            nb[local_idx] = 0
+            k = min(self.opt.local_ba_neighbors, int((nb > 0).sum()))
+            neighbor_idx = np.argpartition(-nb, k - 1)[:k] if k else np.zeros(0, int)
+            free_set = {self.iids[i] for i in neighbor_idx if nb[i] > 0}
+            free_set.add(local_around)
+            cam_ids = sorted(
+                (self.iids[i] for i in involved_idx), key=self.reg_rank.get
+            )
             iterations = self.opt.ba_local_iterations
 
         obs_cam, obs_pt, obs_uv, obs_f, cam_index, pt_index = self._collect_obs(
@@ -626,7 +744,7 @@ class IncrementalMapper:
         problem = ba_mod.BAProblem(
             np.stack([self.R[i] for i in cam_ids]),
             np.stack([self.t[i] for i in cam_ids]),
-            np.stack([self.points[p] for p in pids]),
+            self.X[np.asarray(pids, np.int64)],
             obs_cam,
             obs_pt,
             obs_uv,
@@ -654,8 +772,8 @@ class IncrementalMapper:
                 n_i = self.kp[iid].shape[0]
                 self.uv_g[b : b + n_i] = self.norm_uv[iid]
                 self.focal_g[b : b + n_i] = self.focal[iid]
-        for pid, k in pt_index.items():
-            self.points[pid] = X[k]
+        # pt_index maps pids[k] -> k, so X rows are ordered like pids.
+        self.X[np.asarray(pids, np.int64)] = X
 
     def _complete_tracks(self) -> int:
         """Attach unassigned features of registered images to existing
@@ -672,50 +790,42 @@ class IncrementalMapper:
             f, p = f[live], p[live]
             if f.size == 0:
                 continue
-            X = np.stack([self.points[pid] for pid in p])
-            errs = self._reproj_err_batch(f, X)
+            errs = self._reproj_err_batch(f, self.X[p])
             good = errs <= self.opt.max_reproj_error_px
             for gid, pid in zip(f[good], p[good]):
-                if self.pid_of_g[gid] >= 0 or iid in self.track_imgs[pid]:
+                if self.pid_of_g[gid] >= 0 or self._track_has_image(int(pid), iid):
                     continue
                 self._assign(iid, int(gid - lo), int(pid))
                 added += 1
         return added
 
     def _filter_points(self) -> int:
-        """Drop high-error observations and short tracks (batched errors)."""
-        if not self.points:
+        """Drop high-error observations and short tracks — one vectorized
+        pass over the flat assignment array (the per-track dict/list loop
+        here was a superlinear term at 100+ cameras)."""
+        if self.n_points == 0:
             return 0
-        pids_all, gids, Xs = [], [], []
-        for pid, track in self.track.items():
-            for iid, f in track:
-                if iid in self.R:
-                    pids_all.append(pid)
-                    gids.append(self._gid(iid, f))
-                    Xs.append(self.points[pid])
-        if not gids:
+        gids = np.flatnonzero(self.pid_of_g >= 0)
+        if gids.size == 0:
             return 0
-        gids = np.asarray(gids, np.int64)
-        errs = self._reproj_err_batch(gids, np.stack(Xs))
+        pids = self.pid_of_g[gids]
+        errs = self._reproj_err_batch(gids, self.X[pids])
         bad = errs > self.opt.max_reproj_error_px
-        bad_set = set(map(int, gids[bad]))
-
-        removed = 0
-        for pid in list(self.points):
-            track = []
-            for iid, f in self.track[pid]:
-                if iid in self.R and self._gid(iid, f) not in bad_set:
-                    track.append((iid, f))
-                else:
-                    self.pid_of_g[self._gid(iid, f)] = -1
-            self.track[pid] = track
-            self.track_imgs[pid] = {iid for iid, _ in track}
-            if len(track) < self.opt.min_track_len:
-                for iid, f in track:
-                    self.pid_of_g[self._gid(iid, f)] = -1
-                self._kill_point(pid)
-                removed += 1
-        return removed
+        self._unassign_batch(gids[bad])
+        # Tracks that fell below the minimum length lose their remaining
+        # observations and die.
+        short = np.flatnonzero(
+            self._pid_live
+            & (self.track_len < self.opt.min_track_len)
+        )
+        if short.size:
+            keep = ~bad
+            drop = keep & np.isin(pids, short)
+            self._unassign_batch(gids[drop])
+            self._pid_live[short] = False
+            self.track_len[short] = 0
+            self.n_points -= short.size
+        return int(short.size)
 
     # ------------------------------------------------------------------
 
@@ -728,7 +838,16 @@ class IncrementalMapper:
         # whose baseline can never pass the triangulation-angle gate.
         from .verify import CONFIG_PLANAR_OR_PANORAMIC
 
-        ranked = sorted(self.pair_matches.items(), key=lambda kv: -kv[1].shape[0])
+        n_allowed = int(self.allowed_mask.sum())
+        ranked = sorted(
+            (
+                kv
+                for kv in self.pair_matches.items()
+                if self.allowed_mask[self.iid_index[kv[0][0]]]
+                and self.allowed_mask[self.iid_index[kv[0][1]]]
+            ),
+            key=lambda kv: -kv[1].shape[0],
+        )
         nonplanar, planar = [], []
         for kv in ranked:
             if self.pair_config.get(kv[0]) == CONFIG_PLANAR_OR_PANORAMIC:
@@ -757,20 +876,31 @@ class IncrementalMapper:
             # is a dead end (narrow baseline / bas-relief skew): discard
             # and try the next candidate (colmap retries init the same way).
             first_iid = self._register_next()
-            if first_iid is None and len(self.image_info) > 2:
+            if first_iid is None and n_allowed > 2:
                 self._reset_reconstruction()
                 continue
             initialized = True
             if verbose:
                 print(
                     f"[mapper] initialized with ({self.image_info[id1]}, "
-                    f"{self.image_info[id2]}), {len(self.points)} points"
+                    f"{self.image_info[id2]}), {self.n_points} points"
                 )
             break
         if not initialized:
             return None
 
-        since_global = 0
+        def _global_round():
+            self._run_ba()
+            self._filter_points()
+            self._retriangulate()
+            self._complete_tracks()
+
+        def _next_global_at(n_reg: int) -> int:
+            if self.opt.ba_global_every is not None:
+                return n_reg + self.opt.ba_global_every
+            return max(int(np.ceil(self.opt.ba_global_ratio * n_reg)), n_reg + 1)
+
+        next_global = _next_global_at(len(self.registered))
         pending_first = first_iid
         retried_after_stall = False
         while True:
@@ -788,13 +918,10 @@ class IncrementalMapper:
                 # refined run stalled at 49/100 without this, while the
                 # post-run bookkeeping made every remaining image
                 # registerable).
-                if retried_after_stall or len(self.registered) >= len(self.image_info):
+                if retried_after_stall or len(self.registered) >= n_allowed:
                     break
-                self._run_ba()
-                self._filter_points()
-                self._retriangulate()
-                self._complete_tracks()
-                since_global = 0
+                _global_round()
+                next_global = _next_global_at(len(self.registered))
                 retried_after_stall = True
                 continue
             retried_after_stall = False
@@ -802,17 +929,13 @@ class IncrementalMapper:
             # Local BA around every newly registered camera (colmap
             # mapper behavior; keeps drift bounded between global rounds).
             self._run_ba(local_around=iid)
-            since_global += 1
-            if since_global >= self.opt.ba_global_every:
-                self._run_ba()
-                self._filter_points()
-                self._retriangulate()
-                self._complete_tracks()
-                since_global = 0
+            if len(self.registered) >= next_global:
+                _global_round()
+                next_global = _next_global_at(len(self.registered))
             if verbose:
                 print(
                     f"[mapper] registered {self.image_info[iid]} "
-                    f"({len(self.registered)}/{len(self.image_info)}), +{n_new} points"
+                    f"({len(self.registered)}/{n_allowed}), +{n_new} points"
                 )
         self._retriangulate()
         self._complete_tracks()
@@ -847,36 +970,37 @@ class IncrementalMapper:
                 xys,
                 pids,
             )
-        # Per-point mean reprojection error, batched over all observations.
-        mean_err: Dict[int, float] = {}
-        if self.points:
-            pids_all, gids, Xs = [], [], []
-            for pid, track in self.track.items():
-                for iid, f in track:
-                    pids_all.append(pid)
-                    gids.append(self._gid(iid, f))
-                    Xs.append(self.points[pid])
-            if gids:
-                errs = self._reproj_err_batch(
-                    np.asarray(gids, np.int64), np.stack(Xs)
-                )
-                pids_arr = np.asarray(pids_all, np.int64)
-                sums = np.bincount(
-                    pids_arr, weights=np.nan_to_num(errs, posinf=0.0)
-                )
-                cnts = np.bincount(pids_arr)
-                for pid in self.points:
-                    if pid < cnts.shape[0] and cnts[pid] > 0:
-                        mean_err[pid] = float(sums[pid] / cnts[pid])
-        for pid, X in self.points.items():
-            track = self.track[pid]
+        # Tracks + per-point mean reprojection error, recovered from the
+        # flat assignment array by one sort/group pass (no per-track
+        # Python state).
+        gids = np.flatnonzero(self.pid_of_g >= 0)
+        if gids.size == 0:
+            return model
+        pids_arr = self.pid_of_g[gids]
+        errs = self._reproj_err_batch(gids, self.X[pids_arr])
+        sums = np.bincount(
+            pids_arr, weights=np.nan_to_num(errs, posinf=0.0), minlength=self.next_pid
+        )
+        cnts = np.bincount(pids_arr, minlength=self.next_pid)
+        order = np.argsort(pids_arr, kind="stable")
+        g_sorted = gids[order]
+        p_sorted = pids_arr[order]
+        track_iids = np.asarray(self.iids)[self.img_of_g[g_sorted]]
+        # Feature index = gid - base[owner image], vectorized via a per-
+        # image base lookup.
+        base_arr = np.asarray([self.base[i] for i in self.iids])
+        track_feats = g_sorted - base_arr[self.img_of_g[g_sorted]]
+        starts = np.searchsorted(p_sorted, np.arange(self.next_pid))
+        ends = np.searchsorted(p_sorted, np.arange(self.next_pid), side="right")
+        for pid in np.flatnonzero(self._pid_live[: self.next_pid]).tolist():
+            lo, hi = starts[pid], ends[pid]
             model.points3D[pid] = model_mod.Point3D(
                 pid,
-                X,
+                self.X[pid].copy(),
                 np.full(3, 128, np.uint8),
-                mean_err.get(pid, 0.0),
-                np.asarray([iid for iid, _ in track]),
-                np.asarray([f for _, f in track]),
+                float(sums[pid] / cnts[pid]) if cnts[pid] else 0.0,
+                track_iids[lo:hi].copy(),
+                track_feats[lo:hi].copy(),
             )
         return model
 
@@ -886,9 +1010,40 @@ def reconstruct(
     options: MapperOptions = None,
     verbose: bool = True,
 ) -> Tuple[Optional[model_mod.Model], dict]:
-    """Run incremental SfM; returns (model, analyzer stats)."""
+    """Run incremental SfM; returns (model, analyzer stats).
+
+    A disconnected match graph yields several models: after registration
+    exhausts, the mapper re-seeds on the unregistered remainder, and the
+    LARGEST model by camera count is returned (the reference keeps every
+    model colmap produces and selects the largest,
+    colmap_utils.py:238-264).  The stats record how many models were
+    built and their sizes so drivers can report which one was selected.
+    """
     mapper = IncrementalMapper(database, options)
-    model = mapper.reconstruct(verbose=verbose)
-    if model is None:
+    opt = mapper.opt
+    models = []
+    while len(models) < opt.max_models and int(mapper.allowed_mask.sum()) >= 2:
+        model = mapper.reconstruct(verbose=verbose)
+        if model is None:
+            break
+        if models and len(model.images) < opt.min_model_size:
+            break
+        models.append(model)
+        for iid in mapper.registered:
+            mapper.allowed_mask[mapper.iid_index[iid]] = False
+        mapper._reset_reconstruction()
+    if not models:
         return None, {}
-    return model, analyze_model(model)
+    sizes = [len(m.images) for m in models]
+    best_k = int(np.argmax(sizes))
+    best = models[best_k]
+    if verbose and len(models) > 1:
+        print(
+            f"[mapper] {len(models)} disconnected models of sizes {sizes}; "
+            f"selected model {best_k} with {sizes[best_k]} images"
+        )
+    stats = analyze_model(best)
+    stats["num_models"] = len(models)
+    stats["model_sizes"] = sizes
+    stats["selected_model"] = best_k
+    return best, stats

@@ -157,6 +157,66 @@ def test_failed_init_leaves_no_partial_state(tmp_path):
     # Force the final point-count gate to fail: point creation disabled.
     m._new_point = lambda X, obs: None
     assert not m._try_initialize(id1, id2)
-    assert not m.R and not m.registered and not m.track
+    assert not m.R and not m.registered and m.n_points == 0
     assert not m.registered_mask.any()
     assert (m.pid_of_g == -1).all()
+    assert not m._pid_live.any() and not m.pair_set
+    assert (m.per_img_cand == 0).all() and (m.nbr_assigned == 0).all()
+
+
+def test_incremental_ranking_matches_full_recompute(tmp_path):
+    """The O(degree)-per-assignment candidate-ranking bookkeeping must
+    track the O(E) full recomputation exactly through registration,
+    triangulation, completion, and filtering."""
+    from test_sfm import _scene_to_db_and_model
+
+    from lfr_tpu.sfm import mapper as mapper_mod
+
+    rng = np.random.default_rng(21)
+    scene = synthetic.random_scene(rng, num_points=200, num_cameras=6, noise_px=0.4)
+    db, _ = _scene_to_db_and_model(scene, tmp_path, noise=0.4, outlier_frac=0.1, seed=21)
+    m = mapper_mod.IncrementalMapper(db)
+
+    checks = []
+    orig_filter = m._filter_points
+
+    def checked_filter():
+        r = orig_filter()
+        checks.append(
+            np.array_equal(m.per_img_cand, m._ranking_counts_full())
+        )
+        return r
+
+    m._filter_points = checked_filter
+    model = m.reconstruct(verbose=False)
+    assert model is not None
+    assert checks and all(checks)
+    np.testing.assert_array_equal(m.per_img_cand, m._ranking_counts_full())
+
+
+def test_disconnected_scene_builds_multiple_models(tmp_path):
+    """Two disjoint camera clusters in one database: the mapper must
+    reconstruct both models and return the larger one (reference picks
+    the largest colmap model by camera count, colmap_utils.py:238-264)."""
+    from test_sfm import _scene_to_db_and_model
+
+    from lfr_tpu.sfm import mapper as mapper_mod
+
+    rng = np.random.default_rng(31)
+    # Build one DB holding two independent scenes: cluster A (5 cams) and
+    # cluster B (4 cams) share no matches.
+    scene_a = synthetic.random_scene(rng, num_points=180, num_cameras=5, noise_px=0.3)
+    scene_b = synthetic.random_scene(rng, num_points=150, num_cameras=4, noise_px=0.3)
+    db, _ = _scene_to_db_and_model(
+        scene_a, tmp_path, noise=0.3, seed=31, second_scene=scene_b
+    )
+    model, stats = mapper_mod.reconstruct(db, verbose=False)
+    assert model is not None
+    assert stats["num_models"] == 2, stats
+    assert sorted(stats["model_sizes"], reverse=True) == [5, 4]
+    assert stats["num_reg_images"] == 5  # largest selected
+    # The selected model's images must all come from one cluster.
+    names = {im.name for im in model.images.values()}
+    assert all(n.startswith("a_") for n in names) or all(
+        n.startswith("b_") for n in names
+    )

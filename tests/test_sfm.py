@@ -109,43 +109,60 @@ def test_camera_distortion_roundtrip():
     np.testing.assert_allclose(undist, xy, atol=1e-8)
 
 
-def _scene_to_db_and_model(scene, tmp_path, noise=0.0, outlier_frac=0.0, seed=0):
+def _scene_to_db_and_model(
+    scene, tmp_path, noise=0.0, outlier_frac=0.0, seed=0, second_scene=None
+):
+    """Materialize a synthetic scene as a COLMAP DB + GT model.
+
+    ``second_scene``: optional independent scene added to the SAME
+    database with NO cross-scene matches (names prefixed ``a_``/``b_``) —
+    a disconnected match graph for multi-model mapper tests."""
     rng = np.random.default_rng(seed)
     db = colmap_db.ColmapDatabase.create(str(tmp_path / "db.db"))
-    cam_id = db.add_camera(
-        1, scene.width, scene.height,
-        np.array([scene.K[0, 0], scene.K[1, 1], scene.K[0, 2], scene.K[1, 2]]),
-    )
     model = colmap_model.Model()
-    model.cameras[cam_id] = colmap_model.Camera(
-        cam_id, "PINHOLE", scene.width, scene.height,
-        np.array([scene.K[0, 0], scene.K[1, 1], scene.K[0, 2], scene.K[1, 2]]),
-    )
-    image_ids = []
-    for c in range(scene.num_cameras):
-        iid = db.add_image(f"im{c}.jpg", cam_id)
-        image_ids.append(iid)
-        obs = scene.observations[c] + (rng.normal(0, noise, scene.observations[c].shape) if noise else 0)
-        kp = np.hstack([obs, np.ones((obs.shape[0], 1)), np.zeros((obs.shape[0], 1))])
-        db.set_keypoints(iid, kp.astype(np.float32))
-        q = colmap_model.rotmat_to_qvec(scene.rotations[c])
-        model.images[iid] = colmap_model.Image(
-            iid, q, scene.translations[c], cam_id, f"im{c}.jpg"
+
+    def add_scene(sc, prefix):
+        cam_id = db.add_camera(
+            1, sc.width, sc.height,
+            np.array([sc.K[0, 0], sc.K[1, 1], sc.K[0, 2], sc.K[1, 2]]),
         )
-    # Pairwise "verified matches" = shared visible points (+ optional junk).
-    for a in range(scene.num_cameras):
-        for b in range(a + 1, scene.num_cameras):
-            vis = scene.visible[a] & scene.visible[b]
-            idx = np.nonzero(vis)[0]
-            m = np.stack([idx, idx], axis=1)
-            others = np.nonzero(~vis)[0]
-            if outlier_frac and len(idx) and len(others):
-                n_bad = min(int(len(idx) * outlier_frac), len(others))
-                junk = np.stack(
-                    [rng.choice(idx, n_bad), rng.choice(others, n_bad, replace=False)], axis=1
-                )
-                m = np.concatenate([m, junk])
-            db.set_two_view_geometry(image_ids[a], image_ids[b], m)
+        model.cameras[cam_id] = colmap_model.Camera(
+            cam_id, "PINHOLE", sc.width, sc.height,
+            np.array([sc.K[0, 0], sc.K[1, 1], sc.K[0, 2], sc.K[1, 2]]),
+        )
+        image_ids = []
+        for c in range(sc.num_cameras):
+            name = f"{prefix}im{c}.jpg"
+            iid = db.add_image(name, cam_id)
+            image_ids.append(iid)
+            obs = sc.observations[c] + (
+                rng.normal(0, noise, sc.observations[c].shape) if noise else 0
+            )
+            kp = np.hstack([obs, np.ones((obs.shape[0], 1)), np.zeros((obs.shape[0], 1))])
+            db.set_keypoints(iid, kp.astype(np.float32))
+            q = colmap_model.rotmat_to_qvec(sc.rotations[c])
+            model.images[iid] = colmap_model.Image(
+                iid, q, sc.translations[c], cam_id, name
+            )
+        # Pairwise "verified matches" = shared visible points (+ junk).
+        for a in range(sc.num_cameras):
+            for b in range(a + 1, sc.num_cameras):
+                vis = sc.visible[a] & sc.visible[b]
+                idx = np.nonzero(vis)[0]
+                m = np.stack([idx, idx], axis=1)
+                others = np.nonzero(~vis)[0]
+                if outlier_frac and len(idx) and len(others):
+                    n_bad = min(int(len(idx) * outlier_frac), len(others))
+                    junk = np.stack(
+                        [rng.choice(idx, n_bad), rng.choice(others, n_bad, replace=False)],
+                        axis=1,
+                    )
+                    m = np.concatenate([m, junk])
+                db.set_two_view_geometry(image_ids[a], image_ids[b], m)
+
+    add_scene(scene, "a_" if second_scene is not None else "")
+    if second_scene is not None:
+        add_scene(second_scene, "b_")
     db.commit()
     return db, model
 
