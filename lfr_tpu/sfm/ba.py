@@ -147,6 +147,10 @@ def _cost(R, t, fscale, points, obs_cam, obs_pt, obs_uv, obs_focal):
     return jnp.sum(huber)
 
 
+#: Point-axis chunk for the Schur aggregation scan (see ``schur_step``).
+POINT_CHUNK = 2048
+
+
 def schur_step(
     Rc,
     tc,
@@ -173,6 +177,14 @@ def schur_step(
     runs in the reduced space z with dc = tie @ z (normal equations
     tie^T H tie z = -tie^T g) — used to SHARE focal scales across views
     of the same physical camera (COLMAP's shared-intrinsics behavior).
+
+    Memory: the point axis streams through a ``lax.scan`` in chunks of
+    ``POINT_CHUNK``, so the per-camera aggregation blocks G/H occupy
+    (chunk, C, d, 3) instead of (P, C, d, 3) — the full buffers reach
+    tens of GB at 1,000 cameras x 100k points — and the per-point group
+    gathers (chunk, V, ...) never materialize for all P at once.  Only
+    the accumulated S (C, C, d, d), the per-point 3x3 inverses, and the
+    O-sized Jacobians persist.
     """
     d = CAM_DOF
     r, Jc, Jp, w = _obs_jacobians(
@@ -190,58 +202,73 @@ def schur_step(
     JcT_r = jnp.einsum("oia,oi->oa", Jc, rw)
     B = jax.ops.segment_sum(JcT_Jc, obs_cam, n_cameras)
     g_c = jax.ops.segment_sum(JcT_r, obs_cam, n_cameras)
-
-    # Point blocks C (3x3) and gradient, per point via padded groups.
-    o_idx = jnp.maximum(pt_obs_idx, 0)
-    Jp_g = Jp[o_idx] * pt_obs_valid[..., None, None]    # (P, V, 2, 3)
-    Jc_g = Jc[o_idx] * pt_obs_valid[..., None, None]    # (P, V, 2, d)
-    r_g = rw[o_idx] * pt_obs_valid[..., None]           # (P, V, 2)
-    cam_g = obs_cam[o_idx]                              # (P, V)
-
-    Cp = jnp.einsum("pvia,pvib->pab", Jp_g, Jp_g)       # (P, 3, 3)
-    g_p = jnp.einsum("pvia,pvi->pa", Jp_g, r_g)         # (P, 3)
-    # Damp both blocks (Marquardt scaling).
     B = B + lam * jnp.eye(d)[None] * jnp.maximum(
         jnp.diagonal(B, axis1=1, axis2=2), 1e-6
     )[:, :, None]
-    Cp = Cp + lam * jnp.eye(3)[None] * jnp.maximum(
-        jnp.diagonal(Cp, axis1=1, axis2=2), 1e-6
-    )[:, :, None]
-    Cp_inv = jnp.linalg.inv(Cp + 1e-9 * jnp.eye(3)[None])
 
-    # E blocks per (point, view): (d, 3).
-    E = jnp.einsum("pvia,pvib->pvab", Jc_g, Jp_g)
-    ECi = jnp.einsum("pvab,pbc->pvac", E, Cp_inv)
-    rhs_contrib = jnp.einsum("pvac,pc->pva", ECi, g_p)  # (P, V, d)
+    n_p, v = pt_obs_idx.shape
+    pc = min(POINT_CHUNK, n_p)
+    if n_p % pc:
+        pc = n_p  # callers that skip run_ba's pow2 padding get one chunk
+    n_chunks = n_p // pc
+    idx_chunks = pt_obs_idx.reshape(n_chunks, pc, v)
+    val_chunks = pt_obs_valid.reshape(n_chunks, pc, v)
 
-    # Schur pairing E C^-1 E^T over all (v, w) observation pairs of each
-    # point, computed by aggregating each point's blocks PER CAMERA first
-    # (G = sum_v ECi, H = sum_w E grouped by observing camera) and
-    # contracting once: S[ca, cb] -= sum_p G[p, ca] @ H[p, cb]^T — exact
-    # for arbitrary track lengths (every (v, w) pair appears in exactly
-    # one (ca, cb) cell).  The former explicit (P, vc, V, d, d) pairing
-    # tensor grew with V^2 and exceeded HBM at 100 cameras with
-    # track-completed ~100-observation tracks.
-    n_p = Cp_inv.shape[0]
-    vmask = pt_obs_valid[..., None, None]
-    flat_ids = (
-        jnp.arange(n_p, dtype=jnp.int32)[:, None] * n_cameras
-        + jnp.where(pt_obs_valid, cam_g, 0).astype(jnp.int32)
-    ).reshape(-1)
-    G = jax.ops.segment_sum(
-        (ECi * vmask).reshape(-1, d, 3), flat_ids, n_p * n_cameras
-    ).reshape(n_p, n_cameras, d, 3)
-    H = jax.ops.segment_sum(
-        (E * vmask).reshape(-1, d, 3), flat_ids, n_p * n_cameras
-    ).reshape(n_p, n_cameras, d, 3)
-    S = -jnp.einsum("pxac,pybc->xyab", G, H)
-    S = S.at[jnp.arange(n_cameras), jnp.arange(n_cameras)].add(B)
+    def _chunk_E(idxc, validc):
+        """Per-chunk group gathers + E blocks (shared by both scans)."""
+        o_idx = jnp.maximum(idxc, 0)
+        Jp_g = Jp[o_idx] * validc[..., None, None]    # (pc, V, 2, 3)
+        Jc_g = Jc[o_idx] * validc[..., None, None]    # (pc, V, 2, d)
+        cam_g = obs_cam[o_idx]                        # (pc, V)
+        E = jnp.einsum("pvia,pvib->pvab", Jc_g, Jp_g)
+        return Jp_g, cam_g, E
 
-    rhs = g_c - jax.ops.segment_sum(
-        (rhs_contrib * pt_obs_valid[..., None]).reshape(-1, d),
-        cam_g.reshape(-1),
-        n_cameras,
+    def fwd(carry, inp):
+        S_acc, rhs_acc = carry
+        idxc, validc = inp
+        Jp_g, cam_g, E = _chunk_E(idxc, validc)
+        r_g = rw[jnp.maximum(idxc, 0)] * validc[..., None]
+        Cp = jnp.einsum("pvia,pvib->pab", Jp_g, Jp_g)   # (pc, 3, 3)
+        g_p = jnp.einsum("pvia,pvi->pa", Jp_g, r_g)     # (pc, 3)
+        # Damp the point blocks (Marquardt scaling).
+        Cp = Cp + lam * jnp.eye(3)[None] * jnp.maximum(
+            jnp.diagonal(Cp, axis1=1, axis2=2), 1e-6
+        )[:, :, None]
+        Cp_inv = jnp.linalg.inv(Cp + 1e-9 * jnp.eye(3)[None])
+        ECi = jnp.einsum("pvab,pbc->pvac", E, Cp_inv)
+        rhs_contrib = jnp.einsum("pvac,pc->pva", ECi, g_p)  # (pc, V, d)
+
+        # Schur pairing E C^-1 E^T over all (v, w) observation pairs of
+        # each point: aggregate each point's blocks PER CAMERA (G = sum_v
+        # ECi, H = sum_w E grouped by observing camera) and contract once
+        # — exact for arbitrary track lengths (every (v, w) pair lands in
+        # exactly one (ca, cb) cell).
+        vmask = validc[..., None, None]
+        flat_ids = (
+            jnp.arange(pc, dtype=jnp.int32)[:, None] * n_cameras
+            + jnp.where(validc, cam_g, 0).astype(jnp.int32)
+        ).reshape(-1)
+        G = jax.ops.segment_sum(
+            (ECi * vmask).reshape(-1, d, 3), flat_ids, pc * n_cameras
+        ).reshape(pc, n_cameras, d, 3)
+        H = jax.ops.segment_sum(
+            (E * vmask).reshape(-1, d, 3), flat_ids, pc * n_cameras
+        ).reshape(pc, n_cameras, d, 3)
+        S_acc = S_acc - jnp.einsum("pxac,pybc->xyab", G, H)
+        rhs_acc = rhs_acc + jax.ops.segment_sum(
+            (rhs_contrib * validc[..., None]).reshape(-1, d),
+            cam_g.reshape(-1),
+            n_cameras,
+        )
+        return (S_acc, rhs_acc), (Cp_inv, g_p)
+
+    S0 = jnp.zeros((n_cameras, n_cameras, d, d))
+    rhs0 = jnp.zeros((n_cameras, d))
+    (S, rhs_pt), (Cp_inv_all, g_p_all) = jax.lax.scan(
+        fwd, (S0, rhs0), (idx_chunks, val_chunks)
     )
+    S = S.at[jnp.arange(n_cameras), jnp.arange(n_cameras)].add(B)
+    rhs = g_c - rhs_pt
 
     # Dense solve of the reduced camera system.
     Sd = jnp.transpose(S, (0, 2, 1, 3)).reshape(d * n_cameras, d * n_cameras)
@@ -258,10 +285,22 @@ def schur_step(
         z = jax.scipy.linalg.cho_solve((L, low), tie.T @ rhs_flat)
         dc = (tie @ z).reshape(n_cameras, d)
 
-    # Back-substitute points: dX = C^-1 (-g_p - E^T dc).
-    ET_dc = jnp.einsum("pvab,pva->pb", E, dc[cam_g] * pt_obs_valid[..., None])
-    dX = jnp.einsum("pab,pb->pa", Cp_inv, -g_p - ET_dc)
-    return dc, dX
+    # Back-substitute points: dX = C^-1 (-g_p - E^T dc), re-streaming the
+    # chunks (E is recomputed rather than stored — storing it would
+    # resurrect the (P, V, d, 3) buffer the scan exists to avoid).
+    def back(_, inp):
+        idxc, validc, Cp_inv, g_p = inp
+        _, cam_g, E = _chunk_E(idxc, validc)
+        ET_dc = jnp.einsum(
+            "pvab,pva->pb", E, dc[cam_g] * validc[..., None]
+        )
+        dX = jnp.einsum("pab,pb->pa", Cp_inv, -g_p - ET_dc)
+        return None, dX
+
+    _, dX_chunks = jax.lax.scan(
+        back, None, (idx_chunks, val_chunks, Cp_inv_all, g_p_all)
+    )
+    return dc, dX_chunks.reshape(n_p, 3)
 
 
 @functools.partial(jax.jit, static_argnames=("n_cameras", "iterations"))

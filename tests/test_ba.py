@@ -220,6 +220,32 @@ def test_schur_matches_dense_gn_long_track():
     )
 
 
+def test_schur_point_chunking_matches_single_chunk(monkeypatch):
+    """Streaming the point axis through the scan in small chunks must give
+    the same GN step as one chunk (the chunking bounds the G/H aggregation
+    buffers at 1,000-camera scale; it must not change the numbers)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(17)
+    n_cam, n_pts = 10, 64
+    prob = _long_track_problem(rng, n_cam, n_pts)
+    free = ba._free_mask(prob)
+    pt_idx, pt_valid = ba._group_by_point(prob.obs_pt, n_pts)
+    args = (
+        jnp.asarray(prob.R), jnp.asarray(prob.t),
+        jnp.zeros(n_cam), jnp.asarray(prob.points),
+        jnp.asarray(1e-3),
+        jnp.asarray(prob.obs_cam), jnp.asarray(prob.obs_pt),
+        jnp.asarray(prob.obs_uv), jnp.asarray(prob.obs_focal),
+        jnp.asarray(free), jnp.asarray(pt_idx), jnp.asarray(pt_valid),
+    )
+    dc1, dX1 = ba.schur_step(*args, n_cameras=n_cam)
+    monkeypatch.setattr(ba, "POINT_CHUNK", 16)  # force 4 chunks
+    dc4, dX4 = ba.schur_step(*args, n_cameras=n_cam)
+    np.testing.assert_allclose(np.asarray(dc4), np.asarray(dc1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dX4), np.asarray(dX1), atol=1e-6)
+
+
 def test_ba_long_track_descends():
     """Full BA on the 100-camera single-visibility scene reaches the floor."""
     rng = np.random.default_rng(8)
