@@ -56,6 +56,7 @@ def run_eth(
         refiner = TwoViewRefiner(variables=variables, fine_mode=fine_mode, **kwargs)
 
     spans = timing.Spans()
+    mg_breakdown: dict = {}
     with spans.span("match_graph"):
         mg_mod.compute_match_graph(
             os.path.join(dataset_path, "images"),
@@ -65,6 +66,7 @@ def run_eth(
             refiner=refiner,
             skip_refinement=skip_refinement,
             progress=verbose,
+            sub_spans=mg_breakdown,
         )
 
     # Multi-view solve.
@@ -109,6 +111,7 @@ def run_eth(
         eth3d.release_device_blocks()
 
     results["timing"] = spans.report()
+    results["match_graph_breakdown"] = mg_breakdown
     with open(
         os.path.join(output_path, f"{method_name}-{dataset_name}-stats.json"), "w"
     ) as fh:
@@ -150,6 +153,7 @@ def run_sfm(
         kwargs = {"batch_size": batch_size} if batch_size else {}
         refiner = TwoViewRefiner(variables=variables, fine_mode=fine_mode, **kwargs)
 
+    mg_breakdown: dict = {}
     mg_mod.compute_match_graph(
         os.path.join(dataset_path, "images"),
         os.path.join(dataset_path, "match-list.txt"),
@@ -158,6 +162,7 @@ def run_sfm(
         refiner=refiner,
         skip_refinement=skip_refinement,
         progress=verbose,
+        sub_spans=mg_breakdown,
     )
     if not skip_refinement:
         solve_mod.solve_file(matches_file, solution_file, verbose=verbose)
@@ -169,6 +174,7 @@ def run_sfm(
         results[tag] = rec_pipeline.reconstruction_pipeline(
             dataset_path, method_name, matches_file, sol, out_json, verbose=verbose
         )
+    results["match_graph_breakdown"] = mg_breakdown
     with open(
         os.path.join(output_path, f"{method_name}-{dataset_name}-stats.json"), "w"
     ) as fh:

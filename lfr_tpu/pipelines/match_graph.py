@@ -38,15 +38,25 @@ def compute_match_graph(
     dump_interval: int = DUMP_INTERVAL,
     progress: bool = True,
     max_matches: int = 2048,
+    sub_spans: Optional[dict] = None,
 ) -> List[str]:
     """Build the match graph for all pairs; returns the written file list.
 
     ``skip_refinement`` zero-fills the displacement grids, exercising the
     full pipeline with identity refinement — the reference's
     SKIP_REFINEMENT debug path (reference: compute_match_graph.py:28,150-159).
+
+    ``sub_spans``: optional dict filled with the stage's internal
+    blocking-time breakdown (host decode, device uploads, matcher
+    dispatch/sync, CNN batches, proto emission) so drivers can attribute
+    the stage wall-clock instead of guessing.
     """
     import concurrent.futures
     import sys as _sys
+
+    from ..utils.timing import Accum
+
+    accum = Accum()
 
     # Defensive stage hygiene: if an evaluation ran earlier in this
     # process, its cached device point blocks would crowd this stage's
@@ -101,22 +111,24 @@ def compute_match_graph(
             loaded.move_to_end(name)
             prefetched.pop(name, None)
             return hit
-        fut = prefetched.pop(name, None)
-        item = fut.result() if fut is not None else _load(name)
+        with accum.span("host_decode"):
+            fut = prefetched.pop(name, None)
+            item = fut.result() if fut is not None else _load(name)
         _remember(name, item)
         return item
 
     def _flush(final: bool) -> None:
         nonlocal part_idx, out_pairs
-        if final and part_idx == -1:
-            protos.write_matching_file(output_file, out_pairs)
-            written.append(output_file)
-        else:
-            part_idx += 1
-            path = f"{output_file}.part.{part_idx}"
-            protos.write_matching_file(path, out_pairs)
-            written.append(path)
-        out_pairs = []
+        with accum.span("proto_write"):
+            if final and part_idx == -1:
+                protos.write_matching_file(output_file, out_pairs)
+                written.append(output_file)
+            else:
+                part_idx += 1
+                path = f"{output_file}.part.{part_idx}"
+                protos.write_matching_file(path, out_pairs)
+                written.append(path)
+            out_pairs = []
 
     # Fused per-pair dispatch pipelines matching + refinement across pairs;
     # results resolve a few pairs behind the dispatch front.
@@ -146,7 +158,8 @@ def compute_match_graph(
     def _prep(name, image):
         p = prepared.get(name)
         if p is None:
-            p = prepare_image(image)
+            with accum.span("image_prep"):
+                p = prepare_image(image)
             prepared[name] = p
             prep_bytes[0] += _prep_size(p)
             while prep_bytes[0] > PREP_CACHE_BYTES and len(prepared) > 2:
@@ -161,18 +174,19 @@ def compute_match_graph(
         m, sim, grid12, grid21 = payload
         # disp1 carries the flow toward image 1 (2->1 grids), disp2 toward
         # image 2 (reference: compute_match_graph.py:178-187).
-        out_pairs.append(
-            protos.PairMatches(
-                name1,
-                float(fact1),
-                name2,
-                float(fact2),
-                m.astype(np.uint32),
-                sim.astype(np.float32),
-                disp1=grid21,
-                disp2=grid12,
+        with accum.span("proto_emit"):
+            out_pairs.append(
+                protos.PairMatches(
+                    name1,
+                    float(fact1),
+                    name2,
+                    float(fact2),
+                    m.astype(np.uint32),
+                    sim.astype(np.float32),
+                    disp1=grid21,
+                    disp2=grid12,
+                )
             )
-        )
 
     def _drain(limit: int) -> None:
         while len(queue) > limit:
@@ -185,7 +199,7 @@ def compute_match_graph(
     if fused:
         from .stream import MatchRefineStream
 
-        stream = MatchRefineStream(refiner)
+        stream = MatchRefineStream(refiner, accum=accum)
 
     feats1 = None
     for pair_idx, (name1, name2) in enumerate(pairs):
@@ -256,6 +270,11 @@ def compute_match_graph(
     _drain(0)
     pool.shutdown(wait=False)
     _flush(final=part_idx == -1)
+    accum.add("stage_total", time.time() - t0)
+    if sub_spans is not None:
+        sub_spans.update(accum.report())
+    if progress:
+        print(f"[match-graph] breakdown: {accum.report()}", file=sys.stderr)
     if refiner is not None and getattr(refiner, "regrown_pairs", 0):
         print(
             f"[match-graph] {refiner.regrown_pairs} pairs exceeded the "

@@ -101,10 +101,16 @@ class MatchRefineStream:
         refiner,
         refine_batch: int = REFINE_BATCH,
         stack_budget_bytes: int = STACK_BUDGET_BYTES,
+        accum=None,
     ):
+        from ..utils.timing import Accum
+
         self.refiner = refiner
         self.refine_batch = int(refine_batch)
         self.stack_budget = int(stack_budget_bytes)
+        #: Blocking-time attribution of the streaming pipeline (shared
+        #: with the caller's match-graph breakdown when provided).
+        self.accum = accum if accum is not None else Accum()
 
         self._base_stack = None  # (S, Hb, Wb, 3)
         self._up_stack = None    # (S, Hu, Wu, 3)
@@ -290,20 +296,22 @@ class MatchRefineStream:
 
         # Ensure BOTH slots, then re-resolve: ensuring the second image can
         # grow or LRU-evict the stack, invalidating the first slot index.
-        self._ensure_slot(name1, prep1)
-        self._ensure_slot(name2, prep2)
-        if name1 not in self._slots:
-            self._ensure_slot(name1, prep1)  # re-upload; LRU spares name2
+        with self.accum.span("stack_upload"):
+            self._ensure_slot(name1, prep1)
+            self._ensure_slot(name2, prep2)
+            if name1 not in self._slots:
+                self._ensure_slot(name1, prep1)  # re-upload; LRU spares name2
         slot1 = self._slots[name1]
         slot2 = self._slots[name2]
 
         kind = "similarity" if matcher == "similarity" else "ratio"
         if self._pend_match and self._pend_match[0][1] != kind:
             self._dispatch_match()  # matcher kind is static per program
-        self._ensure_desc_slot(name1, desc1)
-        self._ensure_desc_slot(name2, desc2)
-        if name1 not in self._dslots:
+        with self.accum.span("desc_upload"):
             self._ensure_desc_slot(name1, desc1)
+            self._ensure_desc_slot(name2, desc2)
+            if name1 not in self._dslots:
+                self._ensure_desc_slot(name1, desc1)
         d1 = self._dslots[name1]
         d2 = self._dslots[name2]
         self._pend_match.append(
@@ -327,6 +335,10 @@ class MatchRefineStream:
         group, self._pend_match = self._pend_match, []
         if not group:
             return
+        with self.accum.span("match_dispatch"):
+            self._dispatch_match_inner(group)
+
+    def _dispatch_match_inner(self, group) -> None:
         rows = _match_pairs_for(self._dstack.shape[1])
         pad = rows - len(group)
         s1 = np.array([g[2] for g in group] + [0] * pad, np.int32)
@@ -350,9 +362,11 @@ class MatchRefineStream:
 
     def _sync_one_match(self) -> None:
         handle, metas = self._match_q.popleft()
-        packed_all = np.asarray(handle)  # (P, B, 3): one transfer per batch
-        for row, meta in zip(packed_all, metas):
-            self._ingest_match(row, *meta)
+        with self.accum.span("match_sync"):
+            packed_all = np.asarray(handle)  # (P, B, 3): one transfer/batch
+        with self.accum.span("match_ingest"):
+            for row, meta in zip(packed_all, metas):
+                self._ingest_match(row, *meta)
 
     def _ingest_match(self, packed, rec, n1, kps1, kps2, slot1, slot2) -> None:
         keep = packed[:n1, 2] > 0
@@ -414,6 +428,10 @@ class MatchRefineStream:
         return {k: np.concatenate(v) if v else np.zeros(0) for k, v in taken.items()}, segs, got
 
     def _dispatch_refine(self, batch_rows: int) -> None:
+        with self.accum.span("refine_dispatch"):
+            self._dispatch_refine_inner(batch_rows)
+
+    def _dispatch_refine_inner(self, batch_rows: int) -> None:
         cols, segs, got = self._take_rows(batch_rows)
         if got == 0:
             return
@@ -440,7 +458,8 @@ class MatchRefineStream:
 
     def _sync_one_refine(self) -> None:
         handle, segs, got = self._refine_q.popleft()
-        packed = np.asarray(handle)[:got]  # (got, 36)
+        with self.accum.span("refine_sync"):
+            packed = np.asarray(handle)[:got]  # (got, 36)
         row = 0
         for rec, start, n in segs:
             block = packed[row : row + n]

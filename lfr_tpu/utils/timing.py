@@ -37,6 +37,39 @@ class Spans:
         return sum(s["ms"] for s in self._spans if s["span"].startswith(prefix))
 
 
+class Accum:
+    """Accumulating named sub-spans (total seconds + call counts) for
+    attributing time WITHIN one pipeline stage — e.g. how the match-graph
+    stage's wall-clock splits across host decode, matcher syncs, CNN
+    batches, and proto emission.  Spans here are blocking-time meters on
+    an asynchronous pipeline: they sum what the driving thread spent in
+    each activity, so they add up to (at most) the stage wall-clock."""
+
+    def __init__(self):
+        self.totals: Dict[str, float] = {}
+        self.calls: Dict[str, int] = {}
+
+    @contextlib.contextmanager
+    def span(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.totals[name] = self.totals.get(name, 0.0) + dt
+            self.calls[name] = self.calls.get(name, 0) + 1
+
+    def add(self, name: str, seconds: float) -> None:
+        self.totals[name] = self.totals.get(name, 0.0) + seconds
+        self.calls[name] = self.calls.get(name, 0) + 1
+
+    def report(self) -> Dict[str, Dict]:
+        return {
+            k: {"total_s": round(v, 3), "calls": self.calls[k]}
+            for k, v in sorted(self.totals.items(), key=lambda kv: -kv[1])
+        }
+
+
 #: Process-wide default collector (pipelines use it unless given their own).
 default_spans = Spans()
 
