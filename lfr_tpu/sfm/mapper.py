@@ -183,6 +183,13 @@ class IncrementalMapper:
         # round (~100 full passes over 1M+ entries at 100 cameras).
         self.nbr_assigned = np.zeros(self.total, np.int32)
         self.per_img_cand = np.zeros(len(self.iids), np.int64)
+        # Per-phase wall-clock attribution (PnP / triangulation / local BA /
+        # global BA / filtering / retriangulation / completion) — the
+        # reference's per-stage chrono prints (solve.cc:585-641) applied to
+        # the mapper, so scale runs report where reconstruction time goes.
+        from ..utils.timing import Accum
+
+        self.phases = Accum()
 
     # -- assignment helpers ------------------------------------------------
 
@@ -868,17 +875,20 @@ class IncrementalMapper:
         first_iid = None
         initialized = False
         for (id1, id2), _ in candidates:
-            if not self._try_initialize(id1, id2):
-                continue
-            self._run_ba()
-            self._filter_points()
-            # An init pair whose structure cannot register ANY third image
-            # is a dead end (narrow baseline / bas-relief skew): discard
-            # and try the next candidate (colmap retries init the same way).
-            first_iid = self._register_next()
-            if first_iid is None and n_allowed > 2:
-                self._reset_reconstruction()
-                continue
+            with self.phases.span("init"):
+                ok = self._try_initialize(id1, id2)
+                if not ok:
+                    continue
+                self._run_ba()
+                self._filter_points()
+                # An init pair whose structure cannot register ANY third
+                # image is a dead end (narrow baseline / bas-relief skew):
+                # discard and try the next candidate (colmap retries init
+                # the same way).
+                first_iid = self._register_next()
+                if first_iid is None and n_allowed > 2:
+                    self._reset_reconstruction()
+                    continue
             initialized = True
             if verbose:
                 print(
@@ -890,10 +900,14 @@ class IncrementalMapper:
             return None
 
         def _global_round():
-            self._run_ba()
-            self._filter_points()
-            self._retriangulate()
-            self._complete_tracks()
+            with self.phases.span("global_ba"):
+                self._run_ba()
+            with self.phases.span("filter_points"):
+                self._filter_points()
+            with self.phases.span("retriangulate"):
+                self._retriangulate()
+            with self.phases.span("complete_tracks"):
+                self._complete_tracks()
 
         def _next_global_at(n_reg: int) -> int:
             if self.opt.ba_global_every is not None:
@@ -907,7 +921,8 @@ class IncrementalMapper:
             if pending_first is not None:
                 iid, pending_first = pending_first, None
             else:
-                iid = self._register_next()
+                with self.phases.span("pnp_register"):
+                    iid = self._register_next()
             if iid is None:
                 # Registration stall: before giving up, run the global
                 # bookkeeping round (BA + filtering + retriangulation +
@@ -925,10 +940,12 @@ class IncrementalMapper:
                 retried_after_stall = True
                 continue
             retried_after_stall = False
-            n_new = self._triangulate_new(iid)
+            with self.phases.span("triangulate"):
+                n_new = self._triangulate_new(iid)
             # Local BA around every newly registered camera (colmap
             # mapper behavior; keeps drift bounded between global rounds).
-            self._run_ba(local_around=iid)
+            with self.phases.span("local_ba"):
+                self._run_ba(local_around=iid)
             if len(self.registered) >= next_global:
                 _global_round()
                 next_global = _next_global_at(len(self.registered))
@@ -937,12 +954,17 @@ class IncrementalMapper:
                     f"[mapper] registered {self.image_info[iid]} "
                     f"({len(self.registered)}/{n_allowed}), +{n_new} points"
                 )
-        self._retriangulate()
-        self._complete_tracks()
-        self._run_ba()
-        self._filter_points()
+        with self.phases.span("retriangulate"):
+            self._retriangulate()
+        with self.phases.span("complete_tracks"):
+            self._complete_tracks()
+        with self.phases.span("global_ba"):
+            self._run_ba()
+        with self.phases.span("filter_points"):
+            self._filter_points()
 
-        return self._to_model()
+        with self.phases.span("to_model"):
+            return self._to_model()
 
     def _to_model(self) -> model_mod.Model:
         model = model_mod.Model()
@@ -1046,4 +1068,9 @@ def reconstruct(
     stats["num_models"] = len(models)
     stats["model_sizes"] = sizes
     stats["selected_model"] = best_k
+    # Where the reconstruction wall-clock went (accumulated across all
+    # models of this sweep) — the scale-run deliverable.
+    stats["phase_times"] = mapper.phases.report()
+    if verbose:
+        print(f"[mapper] phase breakdown: {stats['phase_times']}")
     return best, stats
