@@ -62,7 +62,16 @@ def create_starting_database(dataset_path: str, single_camera: bool = False) -> 
     image_dir = os.path.join(dataset_path, "images")
     db = db_mod.ColmapDatabase.create(database_path)
     shared_cam = None
-    for name in sorted(os.listdir(image_dir)):
+    # Recursive: custom datasets may nest images in subdirectories (the
+    # reference's bootstrap delegates to colmap feature_extractor, which
+    # walks recursively); names stay relative to images/.
+    names = []
+    for dirpath, dirnames, filenames in os.walk(image_dir):
+        dirnames.sort()
+        rel = os.path.relpath(dirpath, image_dir)
+        for fn in sorted(filenames):
+            names.append(fn if rel == "." else os.path.join(rel, fn))
+    for name in names:
         if not name.lower().endswith(IMAGE_EXTENSIONS):
             continue
         path = os.path.join(image_dir, name)

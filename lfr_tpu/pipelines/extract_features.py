@@ -130,7 +130,17 @@ def extract_directory(
 
     count = 0
     pending = collections.deque()  # (name, path, h, w, factor, handle)
-    for name in sorted(os.listdir(image_path)):
+    # Recursive discovery: real datasets nest images (ETH3D undistorted
+    # archives put them under images/dslr_images_undistorted/, and the
+    # GT model names them with that prefix — eth/download.sh layout);
+    # names stay relative so features land next to each image.
+    names = []
+    for dirpath, dirnames, filenames in os.walk(image_path):
+        dirnames.sort()
+        rel = os.path.relpath(dirpath, image_path)
+        for fn in sorted(filenames):
+            names.append(fn if rel == "." else os.path.join(rel, fn))
+    for name in names:
         path = os.path.join(image_path, name)
         try:
             image = images_io.load_image_rgb(path)
