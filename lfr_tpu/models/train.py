@@ -419,9 +419,19 @@ def train(
         val_images = val_images or None
         if not images:
             raise RuntimeError("no local real images found; use corpus='synthetic'")
+        # Procedural diversity (training only, never validation): fractal
+        # noise, natural 1/f^alpha spectra, Voronoi mosaics, dense text —
+        # families the bundled assets are thin on.  The reference CNN was
+        # trained on broad real-scene data (reference: model.py:43); with
+        # no network egress this is the widest corpus reachable here.
+        from ..utils.corpus import procedural_textures
+
+        n_real = len(images)
+        images = images + procedural_textures(rng, count=max(16, n_real // 2))
         print(
-            f"[train] real corpus: {len(images)} images, held out for "
-            f"validation: {[os.path.basename(p) for p in val_paths]}",
+            f"[train] real corpus: {n_real} bundled + {len(images) - n_real} "
+            f"procedural images, held out for validation: "
+            f"{[os.path.basename(p) for p in val_paths]}",
             flush=True,
         )
     else:
