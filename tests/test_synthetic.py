@@ -97,3 +97,19 @@ def test_layered_scene_exposure_jitter_changes_views():
     # Same geometry, different photometry.
     diff = np.abs(img_a[0].astype(float) - img_b[0].astype(float)).mean()
     assert diff > 2.0
+
+
+def test_procedural_textures_families():
+    from lfr_tpu.utils import corpus
+
+    rng = np.random.default_rng(3)
+    texs = corpus.procedural_textures(rng, count=6, size=128)
+    assert len(texs) == 6
+    for t in texs:
+        assert t.shape == (128, 128, 3) and t.dtype == np.float32
+        assert 0.0 <= t.min() and t.max() <= 255.0
+        # Textured, not flat: every family must carry real contrast.
+        assert t.std() > 5.0
+    # Distinct families produce distinct images.
+    flat = [t.mean(axis=2) for t in texs]
+    assert np.abs(flat[0] - flat[1]).mean() > 1.0
