@@ -273,6 +273,11 @@ def compute_match_graph(
     accum.add("stage_total", time.time() - t0)
     if sub_spans is not None:
         sub_spans.update(accum.report())
+        if stream is not None:
+            # Rows the CNN actually refined: ALL mutual-NN matches, i.e.
+            # more than the inlier count geometric verification later
+            # reports — stage throughput must divide by this.
+            sub_spans["n_refined_matches"] = int(stream.refined_rows)
     if progress:
         print(f"[match-graph] breakdown: {accum.report()}", file=sys.stderr)
     if refiner is not None and getattr(refiner, "regrown_pairs", 0):

@@ -124,6 +124,10 @@ class MatchRefineStream:
             k: [] for k in ("ij1", "ij2", "k1", "k2", "ob1", "ob2", "ou1", "ou2")
         }
         self._acc_rows = 0
+        #: CNN-refined rows (= MNN matches BEFORE geometric verification;
+        #: stage-throughput accounting must use this count, not the
+        #: post-verification inlier count downstream stats report).
+        self.refined_rows = 0
         #: (pair_rec, start_row_in_pair, n_rows) segments per accum row run.
         self._acc_segments: List[Tuple[_PairRec, int, int]] = []
 
@@ -435,6 +439,7 @@ class MatchRefineStream:
         cols, segs, got = self._take_rows(batch_rows)
         if got == 0:
             return
+        self.refined_rows += got
         pad = batch_rows - got
         if pad:
             for k in ("ij1", "ij2"):

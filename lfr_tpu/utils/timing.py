@@ -70,6 +70,37 @@ class Accum:
         }
 
 
+class CompileMeter:
+    """Cumulative XLA backend-compile seconds via jax monitoring events.
+
+    Attributes stage-time tails to compilation: a stage's wall-clock minus
+    its compile delta is the reproducible warm cost (cold first-repeat
+    outliers in the e2e benchmarks are otherwise unattributable — the
+    probes show healthy links while a stage runs 3x its warm time)."""
+
+    _registered = False
+    _total = 0.0
+
+    @classmethod
+    def _ensure(cls) -> None:
+        if cls._registered:
+            return
+        from jax._src import monitoring
+
+        def _listener(name: str, dur: float, **kw) -> None:
+            if name == "/jax/core/compile/backend_compile_duration":
+                cls._total += dur
+
+        monitoring.register_event_duration_secs_listener(_listener)
+        cls._registered = True
+
+    @classmethod
+    def seconds(cls) -> float:
+        """Cumulative backend-compile seconds so far in this process."""
+        cls._ensure()
+        return cls._total
+
+
 #: Process-wide default collector (pipelines use it unless given their own).
 default_spans = Spans()
 

@@ -172,6 +172,21 @@ def main():
         probes.append(p)
         print(f"[e2e] probe {tag}: {p}", file=sys.stderr, flush=True)
 
+    from lfr_tpu.utils.timing import CompileMeter
+
+    CompileMeter.seconds()  # register the listener before any compiles
+    compile_runs: dict = {}
+    mg_breakdowns = []
+
+    def _staged(key, fn):
+        """Run fn, recording wall + XLA-compile seconds under key."""
+        c0 = CompileMeter.seconds()
+        t0 = time.perf_counter()
+        out = fn()
+        stage_runs.setdefault(key, []).append(time.perf_counter() - t0)
+        compile_runs.setdefault(key, []).append(CompileMeter.seconds() - c0)
+        return out
+
     for rep in range(max(1, args.repeat)):
         # Fresh start: drop extracted features and per-run artifacts.
         for f in os.listdir(image_dir):
@@ -192,11 +207,12 @@ def main():
 
         print(f"[e2e] repeat {rep}: extracting...", file=sys.stderr, flush=True)
         _probe(f"rep{rep}_pre_extract")
-        t0 = time.perf_counter()
-        n_feats = extract_features.extract_directory(
-            image_dir, "sift", max_features=args.max_features, verbose=False
+        n_feats = _staged(
+            "sift_extract",
+            lambda: extract_features.extract_directory(
+                image_dir, "sift", max_features=args.max_features, verbose=False
+            ),
         )
-        stage_runs.setdefault("sift_extract", []).append(time.perf_counter() - t0)
         print(
             f"[e2e] repeat {rep}: extract {stage_runs['sift_extract'][-1]:.1f}s,"
             " running pipeline...",
@@ -205,17 +221,19 @@ def main():
         )
 
         _probe(f"rep{rep}_pre_pipeline")
-        t0 = time.perf_counter()
-        results = benchmark.run_eth(
-            root,
-            "sift",
-            output_path=os.path.join(workdir, f"out_{rep}"),
-            checkpoint=args.checkpoint,
-            verbose=False,
-            fine_mode=args.fine_mode,
-            batch_size=2048,
+        results = _staged(
+            "total_pipeline",
+            lambda: benchmark.run_eth(
+                root,
+                "sift",
+                output_path=os.path.join(workdir, f"out_{rep}"),
+                checkpoint=args.checkpoint,
+                verbose=False,
+                fine_mode=args.fine_mode,
+                batch_size=2048,
+            ),
         )
-        stage_runs.setdefault("total_pipeline", []).append(time.perf_counter() - t0)
+        mg_breakdowns.append(results.get("match_graph_breakdown", {}))
         _probe(f"rep{rep}_post_pipeline")
         for s in results["timing"]:
             stage_runs.setdefault(s["span"], []).append(s["ms"] / 1e3)
@@ -232,6 +250,7 @@ def main():
                 root_sfm,
                 ignore=shutil.ignore_patterns("sift-*.db", "sparse-*", "*.ply"),
             )
+            c0 = CompileMeter.seconds()
             t0 = time.perf_counter()
             sfm_results = benchmark.run_sfm(
                 root_sfm,
@@ -243,10 +262,29 @@ def main():
                 batch_size=2048,
             )
             sfm_wall.append(time.perf_counter() - t0)
+            compile_runs.setdefault("sfm", []).append(CompileMeter.seconds() - c0)
 
     stage_stats = {k: _median_spread(v) for k, v in stage_runs.items()}
     med_extract = stage_stats["sift_extract"]["median_s"]
     med_mg = stage_stats.get("match_graph", {}).get("median_s", 0.0)
+    # Repeat 0 pays every XLA compile in the process (attributed below via
+    # CompileMeter); the warm stats are the reproducible steady state.
+    stage_warm = (
+        {k: _median_spread(v[1:]) for k, v in stage_runs.items()}
+        if args.repeat >= 2
+        else None
+    )
+    n_refined = [
+        b.get("n_refined_matches") for b in mg_breakdowns if b.get("n_refined_matches")
+    ]
+    mg_runs = stage_runs.get("match_graph", [])
+    refined_tput = (
+        round(
+            float(np.median([n / t for n, t in zip(n_refined, mg_runs)])), 1
+        )
+        if n_refined and len(mg_runs) == len(n_refined)
+        else None
+    )
 
     payload = {
         "config": {
@@ -262,19 +300,32 @@ def main():
         },
         "dataset_render_s": round(t_dataset, 2),
         "stage_wall_s": stage_stats,
+        "stage_wall_warm_s": stage_warm,
+        "stage_compile_s": {
+            k: [round(c, 2) for c in v] for k, v in compile_runs.items()
+        },
         "throughput": {
             "images_per_s_extract": round(n_images / med_extract, 2),
             "pairs_per_s_match_refine": round(n_pairs / med_mg, 2) if med_mg else None,
+            # The CNN refines every mutual-NN match; dividing the stage by
+            # the post-verification inlier count (as the round-4 review
+            # did) understates it by the outlier fraction.
+            "refined_matches_per_s": refined_tput,
         },
+        "match_graph_breakdown": mg_breakdowns,
         "stats": {tag: results[tag] for tag in ("ref", "raw") if tag in results},
         "features_extracted": n_feats,
         "health_probes": probes,
     }
     if args.sfm and sfm_results is not None:
         payload["sfm_wall_s"] = _median_spread(sfm_wall)
+        payload["sfm_compile_s"] = [round(c, 2) for c in compile_runs.get("sfm", [])]
         payload["sfm"] = {
             tag: sfm_results[tag] for tag in ("ref", "raw") if tag in sfm_results
         }
+        payload["sfm"]["match_graph_breakdown"] = sfm_results.get(
+            "match_graph_breakdown", {}
+        )
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as fh:
