@@ -129,43 +129,59 @@ def run_sfm(
     batch_size: int = None,
     verbose: bool = True,
     fine_mode: str = "grid",
+    matches_file: Optional[str] = None,
+    solution_file: Optional[str] = None,
 ) -> dict:
     """Full-SfM benchmark for one dataset — the LFE / custom-demo path
     (reference: local-feature-evaluation/benchmark.py:85-126,
-    custom_demo.py:87-126)."""
+    custom_demo.py:87-126).
+
+    ``matches_file``/``solution_file``: existing artifacts to reuse —
+    the reference computes the match graph once per scene and feeds the
+    same files to every downstream stage (benchmark.py:94-112); pass
+    both to skip the match and solve stages entirely.
+    """
     from . import reconstruction as rec_pipeline
 
     method = get_method(method_name)
     dataset_name = os.path.basename(os.path.normpath(dataset_path))
     os.makedirs(output_path, exist_ok=True)
 
-    matches_file = os.path.join(output_path, f"{method_name}-{dataset_name}-matches.pb")
-    solution_file = os.path.join(output_path, f"{method_name}-{dataset_name}-solution.pb")
-
-    if refiner is None and not skip_refinement:
-        from .refinement import TwoViewRefiner
-
-        variables = None
-        if checkpoint:
-            from ..models.checkpoint import load_any
-
-            variables = load_any(checkpoint)
-        kwargs = {"batch_size": batch_size} if batch_size else {}
-        refiner = TwoViewRefiner(variables=variables, fine_mode=fine_mode, **kwargs)
+    reuse = matches_file is not None and (skip_refinement or solution_file)
+    if matches_file is None:
+        matches_file = os.path.join(
+            output_path, f"{method_name}-{dataset_name}-matches.pb"
+        )
+    if solution_file is None and not skip_refinement:
+        solution_file = os.path.join(
+            output_path, f"{method_name}-{dataset_name}-solution.pb"
+        )
 
     mg_breakdown: dict = {}
-    mg_mod.compute_match_graph(
-        os.path.join(dataset_path, "images"),
-        os.path.join(dataset_path, "match-list.txt"),
-        method,
-        matches_file,
-        refiner=refiner,
-        skip_refinement=skip_refinement,
-        progress=verbose,
-        sub_spans=mg_breakdown,
-    )
-    if not skip_refinement:
-        solve_mod.solve_file(matches_file, solution_file, verbose=verbose)
+    if not reuse:
+        if refiner is None and not skip_refinement:
+            from .refinement import TwoViewRefiner
+
+            variables = None
+            if checkpoint:
+                from ..models.checkpoint import load_any
+
+                variables = load_any(checkpoint)
+            kwargs = {"batch_size": batch_size} if batch_size else {}
+            refiner = TwoViewRefiner(variables=variables, fine_mode=fine_mode, **kwargs)
+
+        mg_mod.compute_match_graph(
+            os.path.join(dataset_path, "images"),
+            os.path.join(dataset_path, "match-list.txt"),
+            method,
+            matches_file,
+            refiner=refiner,
+            skip_refinement=skip_refinement,
+            progress=verbose,
+            sub_spans=mg_breakdown,
+        )
+        if not skip_refinement:
+            solve_mod.solve_file(matches_file, solution_file, verbose=verbose)
 
     results = {}
     runs = [("raw", None)] if skip_refinement else [("ref", solution_file), ("raw", None)]

@@ -319,8 +319,13 @@ def ba_iterate(
     n_cameras: int,
     iterations: int = 20,
     tie=None,
+    tol=1e-6,
 ):
-    """LM loop.  Returns (R, t, fscale, points, final_cost)."""
+    """LM loop.  Returns (R, t, fscale, points, final_cost).
+
+    ``tol``: relative cost-decrease stop (traced, so intermediate mapper
+    rounds can run loose (1e-4) and the final polish tight (1e-6)
+    without extra compiled programs)."""
 
     def body(state):
         Rc, tc, fsc, Xc, lam, cost, done, it = state
@@ -344,7 +349,7 @@ def ba_iterate(
         Xc = jnp.where(accept, X_new, Xc)
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-10), jnp.minimum(lam * 5.0, 1e8))
         rel = jnp.abs(cost - new_cost) / jnp.maximum(cost, 1e-20)
-        done = done | (accept & (rel < 1e-6)) | (~finite & (lam >= 1e8))
+        done = done | (accept & (rel < tol)) | (~finite & (lam >= 1e8))
         cost = jnp.where(accept, new_cost, cost)
         return Rc, tc, fsc, Xc, lam, cost, done, it + 1
 
@@ -416,7 +421,7 @@ def _pow2(n: int, lo: int = 2) -> int:
 
 
 def run_ba(
-    problem: BAProblem, iterations: int = 30
+    problem: BAProblem, iterations: int = 30, tol: float = 1e-6
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, float]:
     """Solve; returns (R, t, log_focal_scales, points, final_cost).
 
@@ -486,6 +491,7 @@ def run_ba(
         jnp.asarray(pt_valid),
         n_cameras=cp,
         iterations=iterations,
+        tol=tol,
         tie=(
             jnp.asarray(_tie_matrix(focal_group, free))
             if focal_group is not None and problem.refine_focal

@@ -56,6 +56,11 @@ class MapperOptions:
     ba_global_ratio: float = 1.1
     ba_iterations: int = 25
     ba_local_iterations: int = 12
+    #: Relative cost-decrease stop for INTERMEDIATE global BAs (the final
+    #: polish always runs at 1e-6).  Mid-run structure only needs to be
+    #: good enough for the next registrations; the loose stop saves
+    #: ~half the LM iterations per round at identical end quality.
+    ba_intermediate_tol: float = 1e-4
     #: Covisible registered cameras freed in each local BA.
     local_ba_neighbors: int = 5
     min_track_len: int = 2
@@ -568,24 +573,58 @@ class IncrementalMapper:
         )
         if not cand.any():
             return 0
-        src, nbr = src[cand], nbr[cand]
-        feats = src - lo
-        n = src.size
+        return self._triangulate_pairs(src[cand], nbr[cand])
 
-        oid_idx = self.img_of_g[nbr]
-        uniq = np.unique(oid_idx)
+    def _retriangulate(self) -> int:
+        """Retry triangulation of still-unassigned features of every
+        registered image (COLMAP's retriangulation pass after global BA —
+        filtered/failed tracks get a second chance with better poses).
+
+        One batched pass over ALL registered images: the per-image loop
+        (100 sequential DLT dispatches at 100 cameras) was latency-bound
+        on the device link (~35 ms per round trip), not compute."""
+        # Candidate edges (src < nbr dedups the two directed copies each
+        # correspondence has in the CSR arrays): both ends unassigned,
+        # both images registered.
+        reg_g = self.registered_mask[self.img_of_g]
+        srcs = np.repeat(np.arange(self.total), np.diff(self.corr_start))
+        nbrs = self.corr_nbr
+        cand = (
+            (srcs < nbrs)
+            & (self.pid_of_g[srcs] < 0)
+            & (self.pid_of_g[nbrs] < 0)
+            & reg_g[srcs]
+            & reg_g[nbrs]
+        )
+        src, nbr = srcs[cand], nbrs[cand]
+        if src.size == 0:
+            return 0
+        # Chunked dispatches bound the padded DLT problem (and the host
+        # staging arrays) regardless of scene size.
+        CHUNK = 1 << 18
+        total = 0
+        for s in range(0, src.size, CHUNK):
+            total += self._triangulate_pairs(src[s : s + CHUNK], nbr[s : s + CHUNK])
+        return total
+
+    def _triangulate_pairs(self, src: np.ndarray, nbr: np.ndarray) -> int:
+        """Triangulate + gate + commit candidate (src gid, nbr gid) pairs
+        with per-row cameras on both sides; returns points created."""
+        n = src.size
+        src_idx = self.img_of_g[src]
+        nbr_idx = self.img_of_g[nbr]
+        uniq = np.unique(np.concatenate([src_idx, nbr_idx]))
         Ro = np.stack([self.R[self.iids[k]] for k in uniq])
         to = np.stack([self.t[self.iids[k]] for k in uniq])
-        local = np.searchsorted(uniq, oid_idx)
+        ls = np.searchsorted(uniq, src_idx)
+        ln = np.searchsorted(uniq, nbr_idx)
+        focal_s = self.focal_g[src]
+        focal_n = self.focal_g[nbr]
 
-        # Pow2 padding: one compiled DLT program across all registrations
-        # (shapes otherwise vary per image and recompile remotely).
         nb = max(64, 1 << (n - 1).bit_length())
-        P1 = np.concatenate([self.R[iid], self.t[iid][:, None]], axis=1)
-        P2 = np.concatenate([Ro[local], to[local][:, :, None]], axis=2)
         P = np.zeros((nb, 2, 3, 4))
-        P[:, 0] = P1
-        P[:n, 1] = P2
+        P[:n, 0] = np.concatenate([Ro[ls], to[ls][:, :, None]], axis=2)
+        P[:n, 1] = np.concatenate([Ro[ln], to[ln][:, :, None]], axis=2)
         uv = np.zeros((nb, 2, 2))
         uv[:n] = np.stack([self.uv_g[src], self.uv_g[nbr]], axis=1)
         mask = np.zeros((nb, 2), bool)
@@ -596,22 +635,21 @@ class IncrementalMapper:
             )
         )[:n]
 
-        # Vectorized gating.
         ok = np.isfinite(X).all(axis=1)
-        c1 = X @ self.R[iid].T + self.t[iid]
+        c1 = np.einsum("nab,nb->na", Ro[ls], X) + to[ls]
         z1 = c1[:, 2]
         proj1 = c1[:, :2] / np.where(np.abs(z1[:, None]) < 1e-12, 1e-12, z1[:, None])
-        e1 = np.linalg.norm(proj1 - self.uv_g[src], axis=1) * self.focal[iid]
-        c2 = np.einsum("nab,nb->na", Ro[local], X) + to[local]
+        e1 = np.linalg.norm(proj1 - self.uv_g[src], axis=1) * focal_s
+        c2 = np.einsum("nab,nb->na", Ro[ln], X) + to[ln]
         z2 = c2[:, 2]
         proj2 = c2[:, :2] / np.where(np.abs(z2[:, None]) < 1e-12, 1e-12, z2[:, None])
-        e2 = np.linalg.norm(proj2 - self.uv_g[nbr], axis=1) * self.focal_g[nbr]
+        e2 = np.linalg.norm(proj2 - self.uv_g[nbr], axis=1) * focal_n
         ok &= (z1 > 0) & (z2 > 0)
         ok &= np.maximum(e1, e2) <= self.opt.max_reproj_error_px
 
-        center1 = -self.R[iid].T @ self.t[iid]
-        centers2 = -np.einsum("nba,nb->na", Ro[local], to[local])
-        d1 = X - center1
+        centers1 = -np.einsum("nba,nb->na", Ro[ls], to[ls])
+        centers2 = -np.einsum("nba,nb->na", Ro[ln], to[ln])
+        d1 = X - centers1
         d2 = X - centers2
         cosang = np.sum(d1 * d2, axis=1) / np.maximum(
             np.linalg.norm(d1, axis=1) * np.linalg.norm(d2, axis=1), 1e-12
@@ -619,26 +657,21 @@ class IncrementalMapper:
         ang = np.arccos(np.clip(cosang, -1, 1))
         ok &= ang >= np.deg2rad(self.opt.min_tri_angle_deg)
 
-        # Sequential conflict resolution (one point per feature).
         new = 0
         for k in np.nonzero(ok)[0]:
             if self.pid_of_g[src[k]] >= 0 or self.pid_of_g[nbr[k]] >= 0:
                 continue
-            oid = self.iids[oid_idx[k]]
+            sid = self.iids[src_idx[k]]
+            oid = self.iids[nbr_idx[k]]
             self._new_point(
-                X[k], [(iid, int(feats[k])), (oid, int(nbr[k] - self.base[oid]))]
+                X[k],
+                [
+                    (sid, int(src[k] - self.base[sid])),
+                    (oid, int(nbr[k] - self.base[oid])),
+                ],
             )
             new += 1
         return new
-
-    def _retriangulate(self) -> int:
-        """Retry triangulation of still-unassigned features of every
-        registered image (COLMAP's retriangulation pass after global BA —
-        filtered/failed tracks get a second chance with better poses)."""
-        total = 0
-        for iid in self.registered:
-            total += self._triangulate_new(iid)
-        return total
 
     # ------------------------------------------------------------------
     # Bundle adjustment + filtering
@@ -674,7 +707,7 @@ class IncrementalMapper:
             pt_index,
         )
 
-    def _run_ba(self, local_around: Optional[int] = None) -> None:
+    def _run_ba(self, local_around: Optional[int] = None, final: bool = False) -> None:
         """Global BA, or local BA over ``local_around``'s neighborhood.
 
         Local mode (COLMAP's per-registration local BA): free the new
@@ -762,7 +795,11 @@ class IncrementalMapper:
             # (COLMAP's shared-intrinsics coupling).
             focal_group=np.asarray([self.image_cam[i] for i in cam_ids]),
         )
-        R, t, fscale, X, _ = ba_mod.run_ba(problem, iterations=iterations)
+        R, t, fscale, X, _ = ba_mod.run_ba(
+            problem,
+            iterations=iterations,
+            tol=1e-6 if final else self.opt.ba_intermediate_tol,
+        )
         for iid, k in cam_index.items():
             if iid not in free_set:
                 continue
@@ -959,7 +996,7 @@ class IncrementalMapper:
         with self.phases.span("complete_tracks"):
             self._complete_tracks()
         with self.phases.span("global_ba"):
-            self._run_ba()
+            self._run_ba(final=True)
         with self.phases.span("filter_points"):
             self._filter_points()
 
