@@ -143,13 +143,15 @@ def compute_match_graph(
     # Device-resident image cache: each image is padded/pyramided on device
     # once and reused across all its pairs (LRU-bounded for HBM).
     prepared = collections.OrderedDict()
-    # Exhaustive match lists cycle image2 through every other image per
-    # image1 block, so a small LRU thrashes (one prep per pair); bound the
-    # cache by device bytes instead — ~7 MB per 640x480 image, ~105 MB at
-    # the 1600 px cap.  (See stream.STACK_BUDGET_BYTES for the total HBM
-    # budget this shares with the stacks and the refine program's peak;
-    # a 2.5 GB budget measured 2x slower on the 100-image run.)
-    PREP_CACHE_BYTES = int(4e9)
+    # The prep result is only consumed when the stream (re)writes a stack
+    # slot; while the stack covers the working set, prep hits are free and
+    # the cache is pure HBM overhead.  2 GB (~85 images at 640x480) plus
+    # the 4 GB stacks and the refine program's ~5 GB transient peak fits
+    # the chip at 300-image scale (a 4 GB prep budget OOM'd there: 4+4+5
+    # GB + weights exceeded the v5e's HBM mid-stage).  The round-4 "2x
+    # slower at a trimmed budget" measurement trimmed the STACK budget,
+    # not this cache — stack capacity is what prevents drain thrash.
+    PREP_CACHE_BYTES = int(2e9)
     prep_bytes = [0]
 
     def _prep_size(p):
