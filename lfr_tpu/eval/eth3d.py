@@ -380,16 +380,31 @@ _VIS_DEPTH_TOL_REL = 0.02
 _vis_jitted = None
 
 
-def _visibility_impl(pts, Rs, ts, intr, wh, grid_w: int, n_bins: int, sub: int):
-    """(N, 3) points x (C, ...) cameras -> (N,) int32 view counts."""
+#: Cameras per visibility program: bounds one XLA program to a fixed
+#: 64-step scan regardless of scene size (an unchunked 512-padded-view
+#: program over a multi-million-sample scan crashed the TPU worker on a
+#: 300-camera scene) and makes every scene share ONE compiled program.
+_VIS_CAM_CHUNK = 64
+
+
+def _visibility_impl(views, pts, n_valid, Rs, ts, intr, wh,
+                     grid_w: int, n_bins: int, sub: int):
+    """(N, 3) points x (C, ...) cameras -> updated (N,) int32 view counts.
+
+    ``views`` chains across camera chunks on device; rows >= ``n_valid``
+    are block padding and are excluded from the z-buffer (a padded zero
+    point lands at a real depth in whatever bin the world origin projects
+    to and can shadow true surface samples)."""
     import jax.numpy as jnp
     from jax import lax
+
+    valid = jnp.arange(pts.shape[0]) < n_valid
 
     def one_cam(views, cam):
         R, t, k4, whc = cam
         c = pts @ R.T + t  # (N, 3) camera coords
         z = c[:, 2]
-        front = z > 1e-9
+        front = valid & (z > 1e-9)
         zs = jnp.where(front, z, 1.0)
         px = k4[0] * c[:, 0] / zs + k4[2]
         py = k4[1] * c[:, 1] / zs + k4[3]
@@ -407,8 +422,7 @@ def _visibility_impl(pts, Rs, ts, intr, wh, grid_w: int, n_bins: int, sub: int):
         visible = inb & (z <= dmin * (1.0 + _VIS_DEPTH_TOL_REL) + 1e-9)
         return views + visible.astype(jnp.int32), None
 
-    views0 = jnp.zeros(pts.shape[0], jnp.int32)
-    views, _ = lax.scan(one_cam, views0, (Rs, ts, intr, wh))
+    views, _ = lax.scan(one_cam, views, (Rs, ts, intr, wh))
     return views
 
 
@@ -441,10 +455,10 @@ def scan_visibility_mask(
     intr = np.asarray(intr, np.float32)
     wh = np.asarray(wh, np.float32)
 
-    # Pad the camera axis to a power of two (w=h=0 dummies see nothing) so
-    # scenes with different view counts reuse one compiled program.
+    # Pad the camera axis to a chunk multiple (w=h=0 dummies see nothing);
+    # the host loop below feeds _VIS_CAM_CHUNK views per program call.
     c = len(images)
-    cb = max(8, 1 << (c - 1).bit_length())
+    cb = -(-c // _VIS_CAM_CHUNK) * _VIS_CAM_CHUNK
     pad = cb - c
     if pad:
         Rs = np.concatenate([Rs, np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))])
@@ -464,18 +478,22 @@ def scan_visibility_mask(
         _vis_jitted = jax.jit(
             _visibility_impl, static_argnames=("grid_w", "n_bins", "sub")
         )
-    views = np.asarray(
-        _vis_jitted(
+    views = jnp.zeros(pts.shape[0], jnp.int32)
+    for ci in range(0, cb, _VIS_CAM_CHUNK):
+        cj = ci + _VIS_CAM_CHUNK
+        views = _vis_jitted(
+            views,
             pts,
-            jnp.asarray(Rs),
-            jnp.asarray(ts),
-            jnp.asarray(intr),
-            jnp.asarray(wh),
+            jnp.int32(n),
+            jnp.asarray(Rs[ci:cj]),
+            jnp.asarray(ts[ci:cj]),
+            jnp.asarray(intr[ci:cj]),
+            jnp.asarray(wh[ci:cj]),
             grid_w=grid_w,
             n_bins=n_bins,
             sub=_VIS_DEPTH_SUBSAMPLE,
         )
-    )[:n]
+    views = np.asarray(views)[:n]
     return views >= min_views
 
 
