@@ -345,16 +345,75 @@ class IncrementalMapper:
             max_error=thr,
         )
         inl = np.asarray(inl)[:n]
-        if int(n_inl) < self.opt.init_min_num_inliers:
+        if int(n_inl) >= self.opt.init_min_num_inliers:
+            E = np.asarray(
+                geometry.essential_from_fundamental(
+                    jnp.asarray(E), jnp.eye(3), jnp.eye(3)
+                )
+            )
+            cands = [
+                (np.asarray(R), np.asarray(t))
+                for R, t in geometry.decompose_essential(jnp.asarray(E))
+            ]
+            if self._init_from_candidates(id1, id2, m[inl], x1[inl], x2[inl], cands):
+                return True
+
+        # Homography fallback: on planar / quasi-planar pairs the 8-point
+        # essential estimate is degenerate (any F of the form [e]x.H fits
+        # the dominant plane), so E-based init fails or yields collapsed
+        # triangulation angles; colmap recovers the relative pose from the
+        # homography there (PoseFromHomographyMatrix, used by its
+        # initializer for PLANAR_OR_PANORAMIC pairs).
+        from .verify import _ransac_homography
+
+        H, inl_h, n_h = _ransac_homography(
+            jnp.asarray(x1p), jnp.asarray(x2p), jnp.asarray(valid),
+            jax.random.PRNGKey(1), max_error=thr,
+        )
+        # Only treat the pair as planar when H explains (almost) as many
+        # matches as F — colmap's degeneracy test (H/F inlier ratio >
+        # 0.8); otherwise a junk homography on a genuinely 3-D pair could
+        # out-commit a failed E candidate with degraded structure.
+        if int(n_h) < max(
+            self.opt.init_min_num_inliers, int(0.8 * float(n_inl))
+        ):
             return False
-        m = m[inl]
-        x1, x2 = x1[inl], x2[inl]
-        E = np.asarray(
-            geometry.essential_from_fundamental(jnp.asarray(E), jnp.eye(3), jnp.eye(3))
+        inl_h = np.asarray(inl_h)[:n]
+        cands = self._decompose_homography(np.asarray(H))
+        if not cands:
+            return False
+        return self._init_from_candidates(
+            id1, id2, m[inl_h], x1[inl_h], x2[inl_h], cands
         )
 
+    @staticmethod
+    def _decompose_homography(H: np.ndarray):
+        """(R, t) candidates from a calibrated homography (host cv2;
+        normalized coords, so K = I).  Pure-rotation solutions (t ~ 0,
+        panoramic) are dropped — they cannot seed structure."""
+        import cv2
+
+        H = H / np.linalg.svd(H, compute_uv=False)[1]
+        try:
+            _, Rs, ts, _ = cv2.decomposeHomographyMat(H, np.eye(3))
+        except cv2.error:
+            return []
+        cands = []
+        for R, t in zip(Rs, ts):
+            t = t.reshape(3)
+            nt = np.linalg.norm(t)
+            if nt < 1e-6:
+                continue  # panoramic: no baseline
+            cands.append((np.asarray(R, np.float64), t / nt))
+        return cands
+
+    def _init_from_candidates(self, id1, id2, m, x1, x2, cands) -> bool:
+        """Score relative-pose candidates by cheirality, gate on the
+        triangulation angle, and commit the winning two-view structure."""
         best = None
         T = m.shape[0]
+        if T < self.opt.init_min_num_inliers:
+            return False
         # Pad the cheirality triangulation to the same pow2 bucket so all
         # candidate pairs share compiled programs.
         Tb = max(64, 1 << (T - 1).bit_length())
@@ -362,9 +421,7 @@ class IncrementalMapper:
         uv[:T] = np.stack([x1, x2], axis=1)
         mask = np.zeros((Tb, 2), bool)
         mask[:T] = True
-        for R, t in geometry.decompose_essential(jnp.asarray(E)):
-            R = np.asarray(R)
-            t = np.asarray(t)
+        for R, t in cands:
             P1 = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
             P2 = np.concatenate([R, t[:, None]], axis=1)
             P = np.stack([np.tile(P1, (Tb, 1, 1)), np.tile(P2, (Tb, 1, 1))], axis=1)

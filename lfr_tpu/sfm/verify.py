@@ -95,7 +95,9 @@ def _ransac_fundamental(
 
 
 @functools.partial(jax.jit, static_argnames=("num_hypotheses",))
-def _ransac_homography(x1, x2, valid, key, num_hypotheses: int = NUM_HYPOTHESES):
+def _ransac_homography(
+    x1, x2, valid, key, num_hypotheses: int = NUM_HYPOTHESES, max_error=MAX_ERROR_PX
+):
     n = x1.shape[0]
     n_valid = jnp.sum(valid)
     probs = valid.astype(jnp.float32) / jnp.maximum(n_valid, 1)
@@ -106,7 +108,7 @@ def _ransac_homography(x1, x2, valid, key, num_hypotheses: int = NUM_HYPOTHESES)
         # re-solved exactly below.
         H = geometry.homography_dlt(x1[sample_idx], x2[sample_idx], fast=True)
         err = geometry.homography_error(H, x1, x2)
-        inl = (err <= MAX_ERROR_PX**2) & valid
+        inl = (err <= max_error**2) & valid
         return H, jnp.sum(inl)
 
     Hs, scores = jax.vmap(one_hypothesis)(idx)
@@ -118,16 +120,16 @@ def _ransac_homography(x1, x2, valid, key, num_hypotheses: int = NUM_HYPOTHESES)
     def refit(state, _):
         H, n_best = state
         err = geometry.homography_error(H, x1, x2)
-        w = ((err <= MAX_ERROR_PX**2) & valid).astype(jnp.float32)
+        w = ((err <= max_error**2) & valid).astype(jnp.float32)
         H2 = geometry.homography_dlt(x1, x2, w=w)
         err2 = geometry.homography_error(H2, x1, x2)
-        n2 = jnp.sum((err2 <= MAX_ERROR_PX**2) & valid)
+        n2 = jnp.sum((err2 <= max_error**2) & valid)
         take = n2 >= n_best
         return (jnp.where(take, H2, H), jnp.maximum(n2, n_best)), None
 
     (H, _), _ = jax.lax.scan(refit, (H, scores[best]), None, length=4)
     err = geometry.homography_error(H, x1, x2)
-    inliers = (err <= MAX_ERROR_PX**2) & valid
+    inliers = (err <= max_error**2) & valid
     return H, inliers, jnp.sum(inliers)
 
 
