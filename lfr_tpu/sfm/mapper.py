@@ -436,7 +436,15 @@ class IncrementalMapper:
             if best is None or good.sum() > best[3].sum():
                 best = (R, t, X, good)
         R, t, X, good = best
-        if good.sum() < self.opt.init_min_num_inliers:
+        # Cheirality selects the candidate; the pass-count gate is
+        # FRACTIONAL (half the inliers + an absolute floor), not the full
+        # init_min_num_inliers: wide-baseline pairs on big rigs carry
+        # ~50-80 matches of which a noisy minority triangulates behind a
+        # camera, and demanding 50 absolute rejected every viable
+        # wide-baseline seed at 300 cameras (colmap gates initialization
+        # on the PAIR's inlier count; the triangulated-point minimum is
+        # enforced by the commit gate below).
+        if good.sum() < max(self.opt.abs_pose_min_num_inliers, good.size // 2):
             return False
         # Triangulation angle check (host math; shapes vary per pair).
         c2 = -R.T @ t
@@ -465,7 +473,12 @@ class IncrementalMapper:
             if max(err1, err2) > self.opt.max_reproj_error_px:
                 continue
             self._new_point(X[k], [(id1, f1), (id2, f2)])
-        if self.n_points - n_before < self.opt.init_min_num_inliers // 2:
+        # Floor on committed seed points: abs_pose_min_num_inliers (the
+        # same minimum a later registration would need), not half of
+        # init_min_num_inliers — wide-baseline seeds on big rigs commit
+        # ~20-40 points and the dead-end retry in reconstruct() already
+        # discards seeds that cannot register a third image.
+        if self.n_points - n_before < self.opt.abs_pose_min_num_inliers:
             # Failing AFTER poses/points were created must not leak
             # partial state into the next candidate attempt: a later
             # successful init would inherit tracks referencing these
